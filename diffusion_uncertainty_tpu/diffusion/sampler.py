@@ -1,0 +1,174 @@
+"""Reverse-diffusion sampling as ``jax.lax.scan`` with a static uncertainty window.
+
+The reference runs a Python loop over timesteps, calling a stateful scheduler
+whose ``step()`` *holds the UNet* and runs M×zigzag Python-loop forwards inside
+the window (``generate_samples.py:159-195``,
+``scheduling_ddim_uncertainty_zigzag_centered.py:527-549``). Here the model is
+a passed-in pure function and the loop is three scans — pre-window / window /
+post-window — so the M-ensemble work is only traced for the window segment
+(SURVEY.md §7.1.2) and XLA sees static shapes throughout.
+
+Model function contract:
+    model_fn(x, t, key) -> epsilon-like output  (same shape as x)
+`t` is a traced int32 scalar (train-timestep value, not step index). `key` is
+always provided; deterministic models ignore it (MC-dropout models consume it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ddim import DiffusionConfig, DDIMStep, ddim_step
+from .schedule import NoiseSchedule, spaced_timesteps, uncertainty_window
+
+ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray]
+
+__all__ = ["StepState", "SamplerConfig", "SampleResult", "sample_ddim", "to_uint8"]
+
+
+class StepState(NamedTuple):
+    """Everything an uncertainty estimator / guidance transform may consume
+    about the current denoising step (all float32 except ``sample``)."""
+
+    sample: jnp.ndarray  # x_t as fed to the model
+    pred_x0: jnp.ndarray  # clipped predicted x_0
+    pred_epsilon: jnp.ndarray
+    prev_sample: jnp.ndarray  # x_{t-1} from the plain DDIM update
+    timestep: jnp.ndarray  # int32 scalar t
+    prev_timestep: jnp.ndarray  # int32 scalar t - T//n (may be < 0)
+
+
+# estimator: (model_fn, schedule, state, key) -> pixel-wise uncertainty map
+EstimatorFn = Callable[[ModelFn, NoiseSchedule, StepState, jax.Array], jnp.ndarray]
+# guidance: (model_fn, schedule, state, uncertainty, key) -> updated x_{t-1}
+GuidanceFn = Callable[[ModelFn, NoiseSchedule, StepState, jnp.ndarray, jax.Array], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    num_inference_steps: int = 50
+    num_train_timesteps: int = 1000
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    # uncertainty window (reference ``after_step``/``num_steps_uc``,
+    # ``scheduling_*.py:383-384``); num_steps_uc == 0 disables estimation
+    after_step: int = 0
+    num_steps_uc: int = 0
+
+
+class SampleResult(NamedTuple):
+    sample: jnp.ndarray  # final x_0-space sample, [B, ...]
+    uncertainty: Optional[jnp.ndarray]  # [num_steps_uc, B, ...] or None
+    pred_epsilon: Optional[jnp.ndarray]  # [num_steps_uc, B, ...] or None
+    window_timesteps: Optional[np.ndarray]  # [num_steps_uc] int32 (host, static)
+
+
+def _recompute_prev(
+    schedule: NoiseSchedule,
+    state: StepState,
+    new_eps: jnp.ndarray,
+    cfg: DiffusionConfig,
+) -> jnp.ndarray:
+    """Re-derive x_{t-1} after a guidance transform replaced pred_epsilon
+    (reference ``predict_x_t1``, ``scheduling_*.py:389-398``)."""
+    ab_t = schedule.alpha_bar(state.timestep)
+    ab_prev = schedule.alpha_bar(state.prev_timestep)
+    x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * new_eps) / jnp.sqrt(ab_t)
+    if cfg.clip_sample:
+        x0 = jnp.clip(x0, -cfg.clip_sample_range, cfg.clip_sample_range)
+    std_dev_t = cfg.eta * jnp.sqrt(
+        (1.0 - ab_prev) / (1.0 - ab_t) * (1.0 - ab_t / ab_prev)
+    )
+    direction = jnp.sqrt(jnp.maximum(1.0 - ab_prev - std_dev_t**2, 0.0)) * new_eps
+    return (jnp.sqrt(ab_prev) * x0 + direction).astype(state.sample.dtype)
+
+
+def sample_ddim(
+    model_fn: ModelFn,
+    schedule: NoiseSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplerConfig,
+    estimator: Optional[EstimatorFn] = None,
+    guidance: Optional[GuidanceFn] = None,
+) -> SampleResult:
+    """Run the full reverse chain; jit/pjit-able end to end.
+
+    Call stack parity: ``generate_samples.generate_samples_model_scheduler_
+    class_conditioned_from_tensor`` (ref ``generate_samples.py:127-195``) with
+    the scheduler-held model replaced by ``model_fn`` and per-step host
+    transfers replaced by on-device window accumulation (SURVEY.md §7.1.4).
+    """
+    dcfg = cfg.diffusion
+    ts_host = spaced_timesteps(
+        cfg.num_train_timesteps, cfg.num_inference_steps, dcfg.timestep_spacing, dcfg.steps_offset
+    )
+    prev_ts_host = ts_host - cfg.num_train_timesteps // cfg.num_inference_steps
+    timesteps = jnp.asarray(ts_host)
+    prev_timesteps = jnp.asarray(prev_ts_host)
+
+    def base_step(x: jnp.ndarray, t: jnp.ndarray, t_prev: jnp.ndarray, k: jax.Array):
+        k_model, k_eta = jax.random.split(k)
+        model_output = model_fn(x, t, k_model)
+        noise = (
+            jax.random.normal(k_eta, x.shape, jnp.float32) if dcfg.eta > 0.0 else None
+        )
+        step = ddim_step(schedule, x, model_output, t, t_prev, dcfg, noise=noise)
+        return step
+
+    def plain_body(carry, tt):
+        x, k = carry
+        t, t_prev = tt
+        k, k_step = jax.random.split(k)
+        step = base_step(x, t, t_prev, k_step)
+        return (step.prev_sample, k), None
+
+    def window_body(carry, tt):
+        x, k = carry
+        t, t_prev = tt
+        k, k_step, k_est, k_guide = jax.random.split(k, 4)
+        step = base_step(x, t, t_prev, k_step)
+        state = StepState(
+            sample=x,
+            pred_x0=step.pred_original_sample,
+            pred_epsilon=step.pred_epsilon,
+            prev_sample=step.prev_sample,
+            timestep=t,
+            prev_timestep=t_prev,
+        )
+        u = estimator(model_fn, schedule, state, k_est)
+        next_x = step.prev_sample
+        if guidance is not None:
+            next_x = guidance(model_fn, schedule, state, u, k_guide)
+        return (next_x, k), (u, step.pred_epsilon)
+
+    if estimator is None or cfg.num_steps_uc <= 0:
+        (x, _), _ = jax.lax.scan(plain_body, (x_T, key), (timesteps, prev_timesteps))
+        return SampleResult(x, None, None, None)
+
+    w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, cfg.num_inference_steps)
+    segments = ((0, w0, False), (w0, w1, True), (w1, cfg.num_inference_steps, False))
+
+    x = x_T
+    uncertainty = pred_eps = None
+    for lo, hi, in_window in segments:
+        if hi <= lo:
+            continue
+        xs = (timesteps[lo:hi], prev_timesteps[lo:hi])
+        if in_window:
+            (x, key), (uncertainty, pred_eps) = jax.lax.scan(window_body, (x, key), xs)
+        else:
+            (x, key), _ = jax.lax.scan(plain_body, (x, key), xs)
+
+    return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1])
+
+
+def to_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] floats -> uint8 images (ref ``generate_samples.py:93-105``)."""
+    x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+    # truncating cast matches torch's ``.to(torch.uint8)``
+    return (x * 255.0).astype(jnp.uint8)

@@ -1,0 +1,176 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.diffusion import make_schedule
+from diffusion_uncertainty_tpu.diffusion.sampler import StepState
+from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+from diffusion_uncertainty_tpu.uncertainty.estimators import ensemble_forward
+
+SHAPE = (2, 8, 8, 3)
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return make_schedule("linear", 1000)
+
+
+def make_state(key, t=500, t_prev=480):
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, SHAPE)
+    x0 = jnp.clip(jax.random.normal(k2, SHAPE) * 0.5, -1, 1)
+    eps = jax.random.normal(k3, SHAPE)
+    return StepState(
+        sample=x,
+        pred_x0=x0,
+        pred_epsilon=eps,
+        prev_sample=x * 0.9,
+        timestep=jnp.asarray(t),
+        prev_timestep=jnp.asarray(t_prev),
+    )
+
+
+def test_centered_zero_model_gives_eps_squared(sched):
+    state = make_state(jax.random.key(0))
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=3))
+    u = est(lambda x, t, k: jnp.zeros_like(x), sched, state, jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(u), np.asarray(state.pred_epsilon**2), rtol=1e-5)
+
+
+def test_centered_oracle_model_gives_zero(sched):
+    """If every ensemble forward returns exactly pred_epsilon, u == 0."""
+    state = make_state(jax.random.key(2))
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=5))
+    u = est(lambda x, t, k: state.pred_epsilon, sched, state, jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(u), 0.0, atol=1e-12)
+
+
+def test_mc_dropout_deterministic_model_zero_variance(sched):
+    state = make_state(jax.random.key(4))
+    est = make_estimator(EstimatorConfig(name="mc_dropout", M=4))
+    u = est(lambda x, t, k: 0.3 * x, sched, state, jax.random.key(5))
+    np.testing.assert_allclose(np.asarray(u), 0.0, atol=1e-10)
+
+
+def test_mc_dropout_matches_torch_var_ddof1(sched):
+    """Stochastic model: u must equal unbiased variance (torch.var default)."""
+    state = make_state(jax.random.key(6))
+    M = 6
+
+    def model_fn(x, t, k):
+        return jax.random.normal(k, x.shape)
+
+    est = make_estimator(EstimatorConfig(name="mc_dropout", M=M))
+    key = jax.random.key(7)
+    u = est(model_fn, sched, state, key)
+
+    # recompute the ensemble with the estimator's exact key derivation
+    keys = jax.random.split(key, M)
+    scores = jnp.stack([jax.random.normal(k, SHAPE) for k in keys])
+    expected = np.var(np.asarray(scores), axis=0, ddof=1)
+    np.testing.assert_allclose(np.asarray(u), expected, rtol=1e-5)
+
+
+def test_zigzag_matches_manual_loop(sched):
+    """zigzag_centered against a hand-rolled per-member loop with the same keys."""
+    state = make_state(jax.random.key(8))
+    cfg = EstimatorConfig(name="uncertainty_zigzag_centered", M=2, num_zigzag=3)
+    a = 0.2
+    model_fn = lambda x, t, k: a * x
+    est = make_estimator(cfg)
+    key = jax.random.key(9)
+    u = np.asarray(est(model_fn, sched, state, key))
+
+    ab = float(sched.alphas_cumprod[500])
+    sqrt_ab, sqrt_1mab = np.sqrt(ab), np.sqrt(1 - ab)
+    member_keys = jax.random.split(key, cfg.M)
+    scores = []
+    for mk in member_keys:
+        x1 = np.asarray(state.pred_x0, dtype=np.float32)
+        ks = jax.random.split(mk, cfg.num_zigzag)
+        for kj in ks:
+            kn, km = jax.random.split(kj)
+            noise = np.asarray(jax.random.normal(kn, x1.shape))
+            x_hat = sqrt_ab * x1 + sqrt_1mab * noise
+            score = a * x_hat
+            x1 = (x_hat - sqrt_1mab * score) / sqrt_ab
+        scores.append(score)
+    expected = np.mean(
+        (np.stack(scores) - np.asarray(state.pred_epsilon)[None]) ** 2, axis=0
+    )
+    np.testing.assert_allclose(u, expected, rtol=2e-4, atol=1e-6)
+
+
+def test_flip_estimator(sched):
+    state = make_state(jax.random.key(10))
+    a = 0.7
+    model_fn = lambda x, t, k: a * x
+    est = make_estimator(EstimatorConfig(name="flip"))
+    u = np.asarray(est(model_fn, sched, state, jax.random.key(11)))
+    # flip(a * flip(x0)) == a * x0 for linear model -> u = (eps - a*x0)^2
+    expected = (np.asarray(state.pred_epsilon) - a * np.asarray(state.pred_x0)) ** 2
+    np.testing.assert_allclose(u, expected, rtol=1e-5)
+
+
+def test_infer_noise_is_variance(sched):
+    state = make_state(jax.random.key(12))
+    est = make_estimator(EstimatorConfig(name="infer_noise", M=4))
+    # deterministic-in-input model: variance comes only from the re-noising
+    u = est(lambda x, t, k: x, sched, state, jax.random.key(13))
+    assert float(jnp.mean(u)) > 0
+
+
+def test_image_estimator_runs(sched):
+    state = make_state(jax.random.key(14))
+    est = make_estimator(EstimatorConfig(name="uncertainty_image", M=3))
+    u = est(lambda x, t, k: 0.1 * x, sched, state, jax.random.key(15))
+    assert u.shape == SHAPE
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_centered_d_runs(sched):
+    ts = np.arange(980, -1, -20, dtype=np.int32)
+    state = make_state(jax.random.key(16), t=500, t_prev=480)
+    est = make_estimator(
+        EstimatorConfig(name="uncertainty_centered_d", M=2, uncertainty_distance=5),
+        timesteps=ts,
+    )
+    u = est(lambda x, t, k: 0.1 * x, sched, state, jax.random.key(17))
+    assert u.shape == SHAPE
+    assert np.all(np.isfinite(np.asarray(u)))
+
+
+def test_grad_estimator_runs(sched):
+    state = make_state(jax.random.key(18))
+    est = make_estimator(EstimatorConfig(name="uncertainty_grad", M=2))
+    u = est(lambda x, t, k: 0.1 * x, sched, state, jax.random.key(19))
+    assert u.shape == SHAPE
+    assert float(jnp.max(u)) > 0
+
+
+def test_activation_noise_estimator(sched):
+    state = make_state(jax.random.key(20))
+
+    def model_fn(x, t, k):
+        # emulate activation-noise injection: key-dependent perturbation
+        return 0.1 * x + 0.01 * jax.random.normal(k, x.shape)
+
+    est = make_estimator(EstimatorConfig(name="uncertainty", M=4))
+    u = est(model_fn, sched, state, jax.random.key(21))
+    assert float(jnp.mean(u)) > 0
+
+
+def test_ensemble_chunking_matches_full_vmap():
+    xs = jax.random.normal(jax.random.key(22), (4, 2, 8, 8, 3))
+    keys = jax.random.split(jax.random.key(23), 4)
+    model_fn = lambda x, t, k: 2.0 * x
+    t = jnp.asarray(10)
+    full = ensemble_forward(model_fn, xs, t, keys, chunk=0)
+    chunked = ensemble_forward(model_fn, xs, t, keys, chunk=2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
+
+
+def test_unknown_estimator_raises():
+    with pytest.raises(KeyError):
+        make_estimator(EstimatorConfig(name="uncertainty_fisher"))
