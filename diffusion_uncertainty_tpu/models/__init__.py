@@ -1,0 +1,9 @@
+"""Flax model zoo: ADM UNet (+classifier), HF-style UNet2D, U-ViT (+KL-AE).
+
+All models are NHWC (TPU conv-native), take traced int32 timesteps, and expose
+``.apply``-style pure forwards. Checkpoint converters from the reference's
+PyTorch state dicts live in ``convert.py``.
+"""
+
+from .adm_unet import ADMUNet, ADMUNetConfig, ADMClassifier, ADMClassifierConfig  # noqa: F401
+from .unet2d import UNet2D, UNet2DConfig  # noqa: F401

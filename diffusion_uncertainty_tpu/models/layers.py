@@ -1,0 +1,140 @@
+"""Shared flax layers for the diffusion model zoo.
+
+TPU-first re-designs of the reference's torch building blocks
+(``guided_diffusion/nn.py``: GroupNorm32, timestep_embedding, zero_module;
+``guided_diffusion/unet_openai.py:260-395``: attention blocks). Everything is
+NHWC; norms and softmax run in float32 regardless of activation dtype
+(bf16-safe), matching the reference's GroupNorm32 float32 upcast.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+__all__ = [
+    "timestep_embedding",
+    "GroupNorm32",
+    "zeros_init",
+    "AttentionBlock",
+    "nearest_upsample",
+    "avg_pool_2x",
+]
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    *,
+    cos_first: bool = True,
+    freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, float32.
+
+    Two conventions in the model zoo:
+      * ADM (reference ``guided_diffusion/nn.py:timestep_embedding``):
+        freqs = exp(-ln(P) * arange(half)/half), output ``[cos, sin]``
+        → ``cos_first=True, freq_shift=0``.
+      * DDPM/HF ``Timesteps`` (CIFAR-10 UNet2DModel): denominator
+        ``half - freq_shift`` with ``freq_shift=1`` and output ``[sin, cos]``
+        → ``cos_first=False, freq_shift=1``.
+    """
+    t = timesteps.astype(jnp.float32)
+    if t.ndim == 0:
+        t = t[None]
+    half = dim // 2
+    denom = jnp.maximum(half - freq_shift, 1.0)
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / denom)
+    args = t[:, None] * freqs[None, :]
+    parts = (jnp.cos(args), jnp.sin(args)) if cos_first else (jnp.sin(args), jnp.cos(args))
+    emb = jnp.concatenate(parts, axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def zeros_init() -> Callable:
+    """Zero weight init — the reference zeroes the final conv of every block
+    (``zero_module``, ``guided_diffusion/nn.py``) so residual branches start
+    as identity; checkpoints overwrite these anyway."""
+    return nn.initializers.zeros
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with float32 statistics over min(32, C) groups
+    (reference ``GroupNorm32``/``normalization``, ``guided_diffusion/nn.py``)."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        groups = min(self.num_groups, x.shape[-1])
+        y = nn.GroupNorm(
+            num_groups=groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def nearest_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbour ×factor spatial upsample (NHWC)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2×2 stride-2 average pool (NHWC) — ADM's non-conv Downsample."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened H*W tokens.
+
+    Re-design of the reference's ``AttentionBlock``+``QKVAttention(Legacy)``
+    (``guided_diffusion/unet_openai.py:260-395``): GroupNorm → fused qkv
+    projection → multi-head attention → zero-init output projection →
+    residual. Both reference head orders (legacy: per-head interleaved qkv;
+    new: qkv-major split) reduce to the same math once the projection weights
+    are laid out accordingly — the converter handles the permutation, so one
+    kernel serves both (``use_new_attention_order`` only affects weight
+    layout, not the computation).
+    """
+
+    num_heads: int = 1
+    num_head_channels: int = -1  # overrides num_heads when > 0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        if self.num_head_channels > 0:
+            assert c % self.num_head_channels == 0, (c, self.num_head_channels)
+            heads = c // self.num_head_channels
+        else:
+            heads = self.num_heads
+        head_dim = c // heads
+
+        y = GroupNorm32(dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(y.reshape(b, h * w, c))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, h * w, heads, head_dim)
+        k = k.reshape(b, h * w, heads, head_dim)
+        v = v.reshape(b, h * w, heads, head_dim)
+        # 1/sqrt(d) scaling matches both reference attention orders (:362-395)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, h * w, c)
+        out = nn.Dense(c, kernel_init=zeros_init(), dtype=self.dtype, name="proj_out")(out)
+        return x + out.reshape(b, h, w, c)

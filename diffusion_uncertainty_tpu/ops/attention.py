@@ -1,0 +1,56 @@
+"""Attention dispatch: Pallas flash-attention on TPU, XLA elsewhere.
+
+The reference relies on torch SDPA / xformers picked at import time
+(``uvit/uvit.py:8-17``) and hand-rolled einsum attention in ADM
+(``guided_diffusion/unet_openai.py:329-395``). Sequence lengths in this model
+zoo are ≤ ~4096 tokens (SURVEY.md §5.7), so per-chip blockwise flash attention
+is the right kernel-level analogue of "sequence parallelism" here; the Pallas
+kernel lives in ``flash_attention.py`` and this wrapper picks it when shapes
+and platform allow.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dot_product_attention"]
+
+
+@functools.cache
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def dot_product_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,  # [B, S, H, D]
+    v: jnp.ndarray,  # [B, S, H, D]
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Softmax(QKᵀ/√d)V with float32 logits/softmax, output in q.dtype.
+
+    ``use_pallas=None`` auto-selects the Pallas flash kernel on TPU when the
+    shape meets its tiling constraints; pass False to force the XLA path
+    (useful for numerics comparisons in tests).
+    """
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        from .flash_attention import flash_attention, supports
+
+        if supports(q.shape, q.dtype):
+            return flash_attention(q, k, v)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -1,0 +1,107 @@
+"""Blockwise (flash) attention Pallas TPU kernel.
+
+Online-softmax attention over the spatial token sequences of the model zoo
+(S = 64…4096, head_dim 64…256). Keeps QKᵀ logits in VMEM one (bq × bk) tile
+at a time instead of materialising the [S, S] matrix in HBM — the kernel-level
+analogue of blockwise attention for this workload (SURVEY.md §5.7).
+
+Layout: the wrapper folds batch and heads into one leading grid axis and pads
+head_dim up to a lane multiple (128); zero-padded key columns contribute
+exp(q·0)=1 only through columns that are never read back, and padded value
+columns are sliced off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "supports"]
+
+_LANE = 128
+_NEG_INF = -1e30
+
+
+def supports(shape: tuple[int, ...], dtype) -> bool:
+    """True when (B, S, H, D) meets the kernel's tiling constraints."""
+    if len(shape) != 4:
+        return False
+    _, s, _, d = shape
+    if s % _LANE != 0 or s < _LANE:
+        return False
+    if d > 512:
+        return False
+    return dtype in (jnp.float32, jnp.bfloat16)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
+    # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
+    q = q_ref[0].astype(jnp.float32) * scale
+    bq, dp = q.shape
+    nk = seq_len // bk
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, dp), jnp.float32)
+    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk"))
+def flash_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bq: int = 256,
+    bk: int = 256,
+) -> jnp.ndarray:
+    b, s, h, d = q.shape
+    bq = min(bq, s)
+    bk = min(bk, s)
+    scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
+
+    dp = ((d + _LANE - 1) // _LANE) * _LANE
+
+    def fold(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        if dp != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+        return x
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, bk=bk, scale=scale, seq_len=s),
+        grid=(b * h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, dp), q.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(qf, kf, vf)
+
+    out = out[..., :d].reshape(b, h, s, d)
+    return jnp.transpose(out, (0, 2, 1, 3))

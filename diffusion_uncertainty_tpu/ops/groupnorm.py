@@ -1,0 +1,139 @@
+"""Fused GroupNorm(+SiLU)(+scale-shift) Pallas TPU kernel.
+
+The ADM ResBlock's hot elementwise chain is
+``GroupNorm32 -> (1+scale)·x + shift -> SiLU`` (reference
+``guided_diffusion/unet_openai.py:144-258`` with ``use_scale_shift_norm``).
+XLA fuses most of this already; the Pallas kernel removes the remaining HBM
+round-trips by computing group statistics and applying norm+affine+SiLU in one
+VMEM pass per batch item.
+
+Group reductions keep channels on the lane dimension (group size is 8-32
+channels — far below the 128-lane tile) by contracting with a static one-hot
+[C, G] grouping matrix on the MXU: group sums are ``x @ M`` and the broadcast
+back is ``mean_g @ Mᵀ``. Falls back to pure jnp off-TPU or when the per-batch
+slab exceeds VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["group_norm_silu"]
+
+_VMEM_SLAB_LIMIT = 6 * 1024 * 1024  # bytes of f32 activations per program
+
+
+def _reference_impl(x, gamma, beta, num_groups, eps, scale, shift, apply_silu):
+    b, h, w, c = x.shape
+    gs = c // num_groups
+    xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, gs)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c) * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    if scale is not None:
+        y = y * (1.0 + scale.astype(jnp.float32)) + shift.astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, *, num_groups, eps, apply_silu, has_ss):
+    # x_ref: [1, HW, C]; gamma/beta: [1, C]; scale/shift: [1, 1, C]
+    x = x_ref[0].astype(jnp.float32)
+    hw, c = x.shape
+    gs = c // num_groups
+    n = float(hw * gs)
+
+    # static one-hot grouping matrix [C, G]
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    m = (ch // gs == gr).astype(jnp.float32)
+
+    s1 = jnp.sum(
+        jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
+        axis=0,
+        keepdims=True,
+    )  # [1, G]
+    s2 = jnp.sum(
+        jax.lax.dot_general(x * x, m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
+        axis=0,
+        keepdims=True,
+    )
+    mean_g = s1 / n
+    var_g = s2 / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast back to channels: [1, G] @ [G, C]
+    mean_c = jax.lax.dot_general(mean_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    inv_c = jax.lax.dot_general(inv_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+    y = (x - mean_c) * inv_c
+    y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    if has_ss:
+        y = y * (1.0 + scale_ref[0, 0].astype(jnp.float32)) + shift_ref[0, 0].astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def group_norm_silu(
+    x: jnp.ndarray,  # [B, H, W, C]
+    gamma: jnp.ndarray,  # [C]
+    beta: jnp.ndarray,  # [C]
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    scale: Optional[jnp.ndarray] = None,  # [B, C] or [B,1,1,C] time-conditioned
+    shift: Optional[jnp.ndarray] = None,
+    apply_silu: bool = True,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """GroupNorm over min(num_groups, C) groups with fused affine/scale-shift/SiLU."""
+    b, h, w, c = x.shape
+    num_groups = min(num_groups, c)
+    has_ss = scale is not None
+    if has_ss and shift is None:
+        raise ValueError("scale and shift must be passed together")
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    slab = h * w * c * 4
+    if (
+        not use_pallas
+        or c % num_groups != 0
+        or c % 128 != 0
+        or (h * w) % 8 != 0
+        or slab > _VMEM_SLAB_LIMIT
+    ):
+        sc = scale.reshape(b, 1, 1, c) if has_ss else None
+        sh = shift.reshape(b, 1, 1, c) if has_ss else None
+        return _reference_impl(x, gamma, beta, num_groups, eps, sc, sh, apply_silu)
+
+    xg = x.reshape(b, h * w, c)
+    gamma_g = gamma.reshape(1, c)
+    beta_g = beta.reshape(1, c)
+    scale_g = scale.reshape(b, 1, c) if has_ss else jnp.zeros((b, 1, c), x.dtype)
+    shift_g = shift.reshape(b, 1, c) if has_ss else jnp.zeros((b, 1, c), x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu, has_ss=has_ss
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, x.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(xg, gamma_g, beta_g, scale_g, shift_g)
+
+    return out.reshape(b, h, w, c)

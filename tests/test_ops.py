@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.ops.attention import dot_product_attention
+from diffusion_uncertainty_tpu.ops.flash_attention import flash_attention, supports
+from diffusion_uncertainty_tpu.ops.groupnorm import group_norm_silu
+
+
+def test_flash_attention_matches_xla():
+    # interpret mode on CPU: keep shapes small but tile-legal (S % 128 == 0)
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (2, 128, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (2, 128, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (2, 128, 2, 64), jnp.float32)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    out = flash_attention(q, k, v, bq=64, bk=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_head_dim_padding():
+    # head_dim 48 -> padded to 128 internally; result must still match
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(k1, (1, 128, 1, 48), jnp.float32)
+    k = jax.random.normal(k2, (1, 128, 1, 48), jnp.float32)
+    v = jax.random.normal(k3, (1, 128, 1, 48), jnp.float32)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    out = flash_attention(q, k, v, bq=128, bk=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_supports_predicate():
+    assert supports((2, 256, 4, 64), jnp.float32)
+    assert not supports((2, 100, 4, 64), jnp.float32)  # ragged seq
+    assert not supports((2, 64, 4, 64), jnp.float32)  # too short
+    assert not supports((2, 256, 4, 64), jnp.int8)
+
+
+def test_group_norm_silu_fallback_matches_flax():
+    import flax.linen as nn
+
+    x = jax.random.normal(jax.random.key(2), (2, 8, 8, 64))
+    gamma = jnp.ones((64,))
+    beta = jnp.zeros((64,))
+    ours = group_norm_silu(x, gamma, beta, num_groups=32, use_pallas=False, apply_silu=False)
+    ref = nn.GroupNorm(num_groups=32, epsilon=1e-5).apply(
+        {"params": {"scale": gamma, "bias": beta}}, x
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_silu_pallas_matches_fallback():
+    x = jax.random.normal(jax.random.key(3), (2, 8, 8, 128))
+    gamma = jax.random.normal(jax.random.key(4), (128,)) * 0.1 + 1.0
+    beta = jax.random.normal(jax.random.key(5), (128,)) * 0.1
+    scale = jax.random.normal(jax.random.key(6), (2, 128)) * 0.1
+    shift = jax.random.normal(jax.random.key(7), (2, 128)) * 0.1
+    ref = group_norm_silu(x, gamma, beta, scale=scale, shift=shift, use_pallas=False)
+    out = group_norm_silu(x, gamma, beta, scale=scale, shift=shift, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_scale_without_shift_raises():
+    x = jnp.ones((1, 4, 4, 64))
+    with pytest.raises(ValueError):
+        group_norm_silu(x, jnp.ones(64), jnp.zeros(64), scale=jnp.ones((1, 64)))
