@@ -1,0 +1,118 @@
+"""Headline benchmark: ImageNet-128 uncertainty-guided sampling throughput.
+
+Reproduces the reference's canonical run shape (readme: 50-step DDIM, M=5
+zigzag-centered uncertainty on steps [40, 50), batch 128 images total —
+``readme.md:115-117``, BASELINE.md) on one TPU chip with the flax ADM-128 UNet
+in bf16, and prints ONE JSON line:
+
+    {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` compares against an A100 estimate for the PyTorch reference,
+derived from first principles rather than an unverifiable quote: the compiled
+UNet forward costs ``F`` FLOPs/image (from XLA cost analysis); one generated
+image costs 50 plain + 10·M·zigzag = 200 forwards; an fp16 A100 (312 TFLOPS
+peak) running torch eager at a generous 40% MFU gives
+``ref = 312e12 * 0.40 / (200 F)`` images/sec. The north-star target is
+vs_baseline >= 5 (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_uncertainty_tpu.diffusion import SamplerConfig, make_schedule, sample_ddim
+from diffusion_uncertainty_tpu.models import ADMUNet, ADMUNetConfig
+from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+
+BATCH = 8
+STEPS = 50
+AFTER_STEP = 40
+NUM_STEPS_UC = 10
+M = 5
+NUM_ZIGZAG = 3
+A100_PEAK_FLOPS = 312e12
+A100_ASSUMED_MFU = 0.40
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    cfg_m = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
+    model = ADMUNet(cfg_m)
+    x = jnp.zeros((BATCH, 128, 128, 3), jnp.bfloat16)
+    t = jnp.asarray(500, jnp.int32)
+    y = jnp.zeros((BATCH,), jnp.int32)
+    log(f"initializing ADM-128 ({jax.devices()[0]})...")
+    params = jax.jit(model.init)(jax.random.key(0), x, t, y)
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    log(f"params: {n_params/1e6:.1f}M")
+
+    def model_fn(xx, tt, key):
+        return model.apply(params, xx, tt, y)[..., :3]
+
+    # per-forward FLOPs for the baseline estimate
+    fwd = jax.jit(lambda xx: model_fn(xx, t, None))
+    compiled = fwd.lower(x).compile()
+    cost = compiled.cost_analysis()
+    flops_fwd = float(cost.get("flops", 0.0))
+    flops_per_image_fwd = flops_fwd / BATCH
+    log(f"forward: {flops_per_image_fwd/1e9:.1f} GFLOP/image")
+
+    schedule = make_schedule("linear", 1000)
+    scfg = SamplerConfig(num_inference_steps=STEPS, after_step=AFTER_STEP, num_steps_uc=NUM_STEPS_UC)
+    est = make_estimator(
+        EstimatorConfig(name="uncertainty_zigzag_centered", M=M, num_zigzag=NUM_ZIGZAG)
+    )
+
+    sample_jit = jax.jit(
+        lambda xT, key: sample_ddim(model_fn, schedule, xT, key, scfg, estimator=est),
+        donate_argnums=(0,),
+    )
+
+    xT = jax.random.normal(jax.random.key(1), (BATCH, 128, 128, 3), jnp.bfloat16)
+    log("compiling sampling loop...")
+    t0 = time.perf_counter()
+    res = sample_jit(xT, jax.random.key(2))
+    jax.block_until_ready(res.sample)
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for i in range(3):
+        xT = jax.random.normal(jax.random.key(10 + i), (BATCH, 128, 128, 3), jnp.bfloat16)
+        t0 = time.perf_counter()
+        res = sample_jit(xT, jax.random.key(20 + i))
+        jax.block_until_ready(res.sample)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = BATCH / best
+    log(f"batch {BATCH}: {best:.2f}s -> {imgs_per_sec:.3f} imgs/sec/chip (times: {[f'{x:.2f}' for x in times]})")
+
+    forwards_per_image = STEPS + NUM_STEPS_UC * M * NUM_ZIGZAG
+    ref_a100 = A100_PEAK_FLOPS * A100_ASSUMED_MFU / (forwards_per_image * flops_per_image_fwd)
+    log(
+        f"A100 reference estimate: {ref_a100:.3f} imgs/sec "
+        f"({forwards_per_image} forwards/image @ {A100_ASSUMED_MFU:.0%} MFU of 312 TFLOPS)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "imagenet128_50step_M5_zigzag_uncertainty_sampling",
+                "value": round(imgs_per_sec, 4),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / ref_a100, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -45,8 +45,6 @@ class StepState(NamedTuple):
 
 # estimator: (model_fn, schedule, state, key) -> pixel-wise uncertainty map
 EstimatorFn = Callable[[ModelFn, NoiseSchedule, StepState, jax.Array], jnp.ndarray]
-# guidance: (model_fn, schedule, state, uncertainty, key) -> updated x_{t-1}
-GuidanceFn = Callable[[ModelFn, NoiseSchedule, StepState, jnp.ndarray, jax.Array], jnp.ndarray]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +92,7 @@ def sample_ddim(
     key: jax.Array,
     cfg: SamplerConfig,
     estimator: Optional[EstimatorFn] = None,
-    guidance: Optional[GuidanceFn] = None,
+    guidance=None,  # Optional[uncertainty.guidance.Guidance]
 ) -> SampleResult:
     """Run the full reverse chain; jit/pjit-able end to end.
 
@@ -128,9 +126,9 @@ def sample_ddim(
         return (step.prev_sample, k), None
 
     def window_body(carry, tt):
-        x, k = carry
+        x, k, aux = carry
         t, t_prev = tt
-        k, k_step, k_est, k_guide = jax.random.split(k, 4)
+        k, k_step, k_est = jax.random.split(k, 3)
         step = base_step(x, t, t_prev, k_step)
         state = StepState(
             sample=x,
@@ -140,13 +138,14 @@ def sample_ddim(
             timestep=t,
             prev_timestep=t_prev,
         )
-        u = estimator(model_fn, schedule, state, k_est)
-        next_x = step.prev_sample
         if guidance is not None:
-            next_x = guidance(model_fn, schedule, state, u, k_guide)
-        return (next_x, k), (u, step.pred_epsilon)
+            next_x, u, aux = guidance.apply(model_fn, schedule, state, k_est, aux)
+        else:
+            u = estimator(model_fn, schedule, state, k_est)
+            next_x = step.prev_sample
+        return (next_x, k, aux), (u, step.pred_epsilon)
 
-    if estimator is None or cfg.num_steps_uc <= 0:
+    if (estimator is None and guidance is None) or cfg.num_steps_uc <= 0:
         (x, _), _ = jax.lax.scan(plain_body, (x_T, key), (timesteps, prev_timesteps))
         return SampleResult(x, None, None, None)
 
@@ -154,13 +153,14 @@ def sample_ddim(
     segments = ((0, w0, False), (w0, w1, True), (w1, cfg.num_inference_steps, False))
 
     x = x_T
+    aux = guidance.init(x_T) if guidance is not None else jnp.zeros((), jnp.float32)
     uncertainty = pred_eps = None
     for lo, hi, in_window in segments:
         if hi <= lo:
             continue
         xs = (timesteps[lo:hi], prev_timesteps[lo:hi])
         if in_window:
-            (x, key), (uncertainty, pred_eps) = jax.lax.scan(window_body, (x, key), xs)
+            (x, key, aux), (uncertainty, pred_eps) = jax.lax.scan(window_body, (x, key, aux), xs)
         else:
             (x, key), _ = jax.lax.scan(plain_body, (x, key), xs)
 
