@@ -20,10 +20,19 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import pathlib
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: the 421M-param sampling program is expensive to
+# compile on this single-core host; cache hits make driver re-runs fast
+_CACHE = pathlib.Path(__file__).parent / ".jax_cache"
+_CACHE.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 import jax.numpy as jnp
 
 from diffusion_uncertainty_tpu.diffusion import SamplerConfig, make_schedule, sample_ddim
@@ -51,7 +60,24 @@ def main() -> None:
     t = jnp.asarray(500, jnp.int32)
     y = jnp.zeros((BATCH,), jnp.int32)
     log(f"initializing ADM-128 ({jax.devices()[0]})...")
-    params = jax.jit(model.init)(jax.random.key(0), x, t, y)
+    # abstract init + cheap materialization: jitting model.init would compile
+    # the whole forward a second time (minutes on this single-core host), and
+    # throughput does not depend on weight values
+    shapes = jax.eval_shape(lambda k: model.init(k, x, t, y), jax.random.key(0))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def materialize(key):
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(
+            treedef,
+            [
+                0.02 * jax.random.normal(k, s.shape, s.dtype)
+                for k, s in zip(keys, leaves)
+            ],
+        )
+
+    params = materialize(jax.random.key(0))
     n_params = sum(p.size for p in jax.tree.leaves(params))
     log(f"params: {n_params/1e6:.1f}M")
 

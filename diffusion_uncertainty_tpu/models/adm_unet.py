@@ -53,6 +53,9 @@ class ADMUNetConfig:
     use_scale_shift_norm: bool = True
     resblock_updown: bool = True
     conv_resample: bool = True
+    # affects checkpoint weight layout only (legacy head-major qkv vs qkv-major);
+    # the flax attention kernel is order-agnostic, the converter permutes
+    use_new_attention_order: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
     # blocks whose output gets N(0, std²) noise when an 'act_noise' rng is
@@ -88,6 +91,7 @@ class ADMUNetConfig:
             num_heads=4,
             num_head_channels=64,
             num_heads_upsample=4,
+            use_new_attention_order=True,
         )
 
     @staticmethod

@@ -37,9 +37,10 @@ def make_mesh(
     n = len(devices)
     if data is None:
         data = n // ensemble
-    if data * ensemble != n:
-        raise ValueError(f"data({data}) * ensemble({ensemble}) != devices({n})")
-    arr = np.asarray(devices).reshape(data, ensemble)
+    need = data * ensemble
+    if need > n:
+        raise ValueError(f"data({data}) * ensemble({ensemble}) > devices({n})")
+    arr = np.asarray(devices[:need]).reshape(data, ensemble)
     if ensemble == 1:
         return Mesh(arr.reshape(data), ("data",))
     return Mesh(arr, ("data", "ensemble"))

@@ -62,11 +62,12 @@ def _coerce(tp: Any, value: Any) -> Any:
     if value is None:
         return None
     origin = typing.get_origin(tp)
-    if origin in (list, tuple):
-        (elem,) = typing.get_args(tp)[:1] or (str,)
+    if origin in (list, tuple) or tp in (list, tuple):
+        args = typing.get_args(tp)
+        elem = args[0] if args else str
         seq = value if isinstance(value, (list, tuple)) else str(value).split(",")
         out = [_coerce(elem, v) for v in seq]
-        return tuple(out) if origin is tuple else out
+        return tuple(out) if (origin is tuple or tp is tuple) else out
     if tp is bool:
         if isinstance(value, bool):
             return value
@@ -107,7 +108,7 @@ def parse_config(
         flag = "--" + f.name.replace("_", "-")
         if tp is bool:
             parser.add_argument(flag, type=str, default=None, metavar="BOOL")
-        elif typing.get_origin(tp) in (list, tuple):
+        elif typing.get_origin(tp) in (list, tuple) or tp in (list, tuple):
             parser.add_argument(flag, type=str, default=None, help="comma-separated")
         else:
             parser.add_argument(flag, type=str, default=None)

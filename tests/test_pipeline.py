@@ -1,0 +1,129 @@
+"""End-to-end pipeline tests: factory -> orchestrated generation -> artifacts
+-> thresholds -> resume -> mesh sharding, all on the tiny fixture model."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from diffusion_uncertainty_tpu.diffusion.sampler import SamplerConfig
+from diffusion_uncertainty_tpu.factory import instantiate_model_scheduler
+from diffusion_uncertainty_tpu.parallel.mesh import local_shard_bounds, make_mesh
+from diffusion_uncertainty_tpu.sampling import generate_uncertainty_dataset
+from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+from diffusion_uncertainty_tpu.utils.experiments import (
+    clean_empty_runs,
+    find_runs,
+    load_run_arrays,
+    new_run_dir,
+    save_shard,
+)
+
+
+@pytest.fixture()
+def root(tmp_path, monkeypatch):
+    monkeypatch.setenv("DIFFUSION_UNCERTAINTY_ROOT", str(tmp_path))
+    return tmp_path
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    import jax.numpy as jnp
+
+    return instantiate_model_scheduler("tiny", random_init=True, dtype=jnp.float32)
+
+
+def _gen(bundle, run_dir=None, mesh=None, n=5, batch=2, keep=True):
+    rng = np.random.RandomState(0)
+    x_t = rng.randn(n, 16, 16, 3).astype(np.float32)
+    y = rng.randint(0, 10, n)
+    cfg = SamplerConfig(num_inference_steps=6, after_step=2, num_steps_uc=3)
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=2))
+    return generate_uncertainty_dataset(
+        bundle.apply_fn, bundle.schedule, cfg, x_t, y, batch,
+        estimator=est, run_dir=run_dir, mesh=mesh, keep_in_memory=keep,
+    )
+
+
+def test_generation_shapes_and_artifacts(root, bundle):
+    run_dir = new_run_dir(config=None)
+    res = _gen(bundle, run_dir=run_dir)
+    assert res.gen_images.shape == (5, 16, 16, 3)
+    assert res.gen_images.dtype == np.uint8
+    assert res.uncertainty.shape == (5, 3, 16, 16, 3)
+    assert res.pred_epsilon.shape == (5, 3, 16, 16, 3)
+    # shards on disk: ceil(5/2) = 3 shards, ragged final batch trimmed
+    imgs = load_run_arrays(run_dir, "gen_images")
+    assert imgs.shape == (5, 16, 16, 3)
+    u = load_run_arrays(run_dir, "uncertainty")
+    np.testing.assert_array_equal(u, res.uncertainty)
+
+
+def test_generation_resume_skips_existing_shards(root, bundle):
+    run_dir = new_run_dir()
+    res1 = _gen(bundle, run_dir=run_dir)
+    # corrupt-resistant resume: re-running writes nothing new
+    before = sorted(p.name for p in run_dir.glob("*.npz"))
+    _gen(bundle, run_dir=run_dir, keep=False)
+    after = sorted(p.name for p in run_dir.glob("*.npz"))
+    assert before == after
+
+
+def test_generation_on_mesh_matches_single_device(bundle):
+    mesh = make_mesh(data=4)
+    res_mesh = _gen(bundle, mesh=mesh, n=4, batch=4)
+    res_single = _gen(bundle, mesh=None, n=4, batch=4)
+    np.testing.assert_allclose(
+        np.asarray(res_mesh.gen_images, np.int32),
+        np.asarray(res_single.gen_images, np.int32),
+        atol=1,  # one uint8 step of tolerance for cross-sharding reduction order
+    )
+
+
+def test_run_discovery_and_cleanup(root):
+    from dataclasses import dataclass
+
+    @dataclass
+    class Meta:
+        dataset: str = "tiny"
+        scheduler_type: str = "uncertainty_centered"
+
+    r1 = new_run_dir(config=Meta(), timestamp="2026-01-01_00-00-00")
+    save_shard(r1, "uncertainty", 0, np.zeros((1, 2)))
+    r2 = new_run_dir(config=Meta(dataset="other"), timestamp="2026-01-01_00-00-01")
+    save_shard(r2, "uncertainty", 0, np.zeros((1, 2)))
+    r_empty = new_run_dir(config=Meta(), timestamp="2026-01-01_00-00-02")
+
+    found = list(find_runs(dataset="tiny"))
+    assert r1 in found and r2 not in found and r_empty in found
+
+    removed = clean_empty_runs()
+    assert r_empty in removed and r1.exists()
+
+
+def test_threshold_script_end_to_end(root, bundle):
+    from dataclasses import dataclass
+
+    from diffusion_uncertainty_tpu.scripts.compute_threshold_pixel_wise import main as thr_main
+
+    @dataclass
+    class Meta:
+        dataset: str = "tiny"
+        scheduler_type: str = "uncertainty_centered"
+
+    run_dir = new_run_dir(config=Meta())
+    _gen(bundle, run_dir=run_dir, keep=False)
+    out = thr_main(["--run-dirs", str(run_dir), "--perc", "0.5"])
+    with np.load(out) as f:
+        thr = f["data"]
+    assert thr.shape == (3, 16, 16, 3)
+    u = load_run_arrays(run_dir, "uncertainty")
+    # order statistic: value ranked at floor(N*perc)
+    expected = np.sort(u, axis=0)[int(u.shape[0] * 0.5)]
+    np.testing.assert_allclose(thr, expected)
+
+
+def test_local_shard_bounds():
+    assert local_shard_bounds(10, 0, 3) == (0, 3)
+    assert local_shard_bounds(10, 2, 3) == (6, 10)  # last rank takes remainder
