@@ -1,0 +1,216 @@
+"""DPM-Solver++ multistep sampler with the centered uncertainty estimator.
+
+Parity target: reference ``schedulers_uncertainty/scheduling_dpm_2_uncertainty_
+centered.py`` — diffusers ``DPMSolverMultistepScheduler`` defaults
+(algorithm dpmsolver++, solver_order 2, midpoint, lower_order_final,
+``final_sigmas_type='zero'``, optional Karras sigmas; ctor ``:191-202``) with
+the centered ensemble-variance block inside ``step`` (``:946-968``).
+
+TPU design: per-step tables (σ, α, λ, order flags) are precomputed on host;
+the chain is one ``lax.scan`` whose carry holds (x, previous converted model
+output) — the multistep history that the reference keeps as mutable scheduler
+state. The order choice per step is a static-table ``jnp.where`` select, not
+Python control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sampler import EstimatorFn, ModelFn, SampleResult, StepState
+from .schedule import NoiseSchedule, spaced_timesteps, uncertainty_window
+
+__all__ = ["DPMSolverConfig", "sample_dpm_solver"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverConfig:
+    num_inference_steps: int = 50
+    num_train_timesteps: int = 1000
+    solver_order: int = 2
+    prediction_type: str = "epsilon"
+    timestep_spacing: str = "linspace"  # diffusers DPM default
+    steps_offset: int = 0
+    use_karras_sigmas: bool = False
+    lower_order_final: bool = True
+    final_sigmas_type: str = "zero"  # zero | sigma_min
+    thresholding: bool = False
+    sample_max_value: float = 1.0
+    # uncertainty window (shared semantics with SamplerConfig)
+    after_step: int = 0
+    num_steps_uc: int = 0
+
+
+def _karras_sigmas(sigma_min: float, sigma_max: float, n: int, rho: float = 7.0) -> np.ndarray:
+    ramp = np.linspace(0, 1, n)
+    min_inv = sigma_min ** (1 / rho)
+    max_inv = sigma_max ** (1 / rho)
+    return (max_inv + ramp * (min_inv - max_inv)) ** rho
+
+
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """diffusers' piecewise-linear inversion of log-sigma back to train t."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma[:, None] - log_sigmas[None, :]
+    low_idx = np.clip((dists >= 0).cumsum(axis=1).argmax(axis=1), 0, log_sigmas.shape[0] - 2)
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0, 1)
+    return (1 - w) * low_idx + w * high_idx
+
+
+def _tables(schedule: NoiseSchedule, cfg: DPMSolverConfig):
+    """Per-step σ/α/λ tables incl. the terminal sigma (length n+1)."""
+    ab = np.asarray(schedule.alphas_cumprod, np.float64)
+    all_sigmas = np.sqrt((1 - ab) / ab)
+    log_sigmas = np.log(all_sigmas)
+    ts = spaced_timesteps(
+        cfg.num_train_timesteps, cfg.num_inference_steps, cfg.timestep_spacing, cfg.steps_offset
+    ).astype(np.float64)
+
+    if cfg.use_karras_sigmas:
+        sigmas = _karras_sigmas(float(all_sigmas.min()), float(all_sigmas.max()), cfg.num_inference_steps)
+        t_cont = _sigma_to_t(sigmas, log_sigmas)
+        ts = np.round(t_cont).astype(np.int64)
+    else:
+        sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
+
+    if cfg.final_sigmas_type == "zero":
+        final_sigma = 0.0
+    else:
+        final_sigma = float(np.sqrt((1 - ab[0]) / ab[0]))
+    sigmas = np.concatenate([sigmas, [final_sigma]])
+
+    alpha_t = 1.0 / np.sqrt(1.0 + sigmas**2)
+    sigma_t = sigmas * alpha_t
+    lambda_t = np.log(np.maximum(alpha_t, 1e-30)) - np.log(np.maximum(sigma_t, 1e-30))
+
+    n = cfg.num_inference_steps
+    # static order schedule: first step is order-1 warmup; final step(s) drop
+    # to order 1 under lower_order_final for short chains (ref :915-921)
+    first_order = np.zeros(n, bool)
+    first_order[0] = True
+    if cfg.solver_order == 1:
+        first_order[:] = True
+    if cfg.lower_order_final and (n < 15 or cfg.final_sigmas_type == "zero"):
+        first_order[n - 1] = True
+    return ts.astype(np.int32), sigmas, alpha_t, sigma_t, lambda_t, first_order
+
+
+def sample_dpm_solver(
+    model_fn: ModelFn,
+    schedule: NoiseSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    cfg: DPMSolverConfig,
+    estimator: Optional[EstimatorFn] = None,
+    guidance=None,
+) -> SampleResult:
+    """Full reverse chain under DPM-Solver++ (orders 1-2)."""
+    ts_host, sigmas, alpha_t, sigma_t, lambda_t, first_order = _tables(schedule, cfg)
+    n = cfg.num_inference_steps
+    timesteps = jnp.asarray(ts_host)
+    alpha_j = jnp.asarray(alpha_t, jnp.float32)
+    sigma_j = jnp.asarray(sigma_t, jnp.float32)
+    lambda_j = jnp.asarray(lambda_t, jnp.float32)
+    first_order_j = jnp.asarray(first_order)
+
+    step_ratio = cfg.num_train_timesteps // cfg.num_inference_steps
+
+    def convert_to_x0(x, out, i):
+        """dpmsolver++ data-prediction conversion (diffusers
+        ``convert_model_output``): x0 = (x − σ_t·ε)/α_t in the σ/α split."""
+        a, s = alpha_j[i], sigma_j[i]
+        x = x.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if cfg.prediction_type == "epsilon":
+            x0 = (x - s * out) / a
+        elif cfg.prediction_type == "sample":
+            x0 = out
+        elif cfg.prediction_type == "v_prediction":
+            x0 = a * x - s * out
+        else:
+            raise ValueError(cfg.prediction_type)
+        if cfg.thresholding:
+            from .ddim import _dynamic_threshold
+
+            x0 = _dynamic_threshold(x0, 0.995, cfg.sample_max_value)
+        return x0
+
+    def solver_update(x, x0, x0_prev, i):
+        """Order-1 / order-2(midpoint) dpmsolver++ updates, selected by the
+        static per-step table (diffusers first/second_order_update)."""
+        x = x.astype(jnp.float32)
+        s_t, s_s = sigma_j[i + 1], sigma_j[i]
+        a_next = alpha_j[i + 1]
+        h = lambda_j[i + 1] - lambda_j[i]
+        em1 = jnp.exp(-h) - 1.0
+
+        x1 = (s_t / s_s) * x - a_next * em1 * x0
+
+        h0 = lambda_j[i] - lambda_j[jnp.maximum(i - 1, 0)]
+        r0 = h0 / jnp.where(h == 0, 1.0, h)
+        d1 = (x0 - x0_prev) / jnp.where(r0 == 0, 1.0, r0)
+        x2 = (s_t / s_s) * x - a_next * em1 * x0 - 0.5 * a_next * em1 * d1
+
+        return jnp.where(first_order_j[i], x1, x2)
+
+    def base_step(x, i, k):
+        t = timesteps[i]
+        out = model_fn(x, t, k)
+        x0 = convert_to_x0(x, out, i)
+        return out, x0, t
+
+    def plain_body(carry, i):
+        x, x0_prev, k = carry
+        k, k_m = jax.random.split(k)
+        out, x0, t = base_step(x, i, k_m)
+        next_x = solver_update(x, x0, x0_prev, i).astype(x.dtype)
+        return (next_x, x0, k), None
+
+    def window_body(carry, i):
+        x, x0_prev, k, aux = carry
+        k, k_m, k_est = jax.random.split(k, 3)
+        out, x0, t = base_step(x, i, k_m)
+        next_x = solver_update(x, x0, x0_prev, i).astype(x.dtype)
+        state = StepState(
+            sample=x,
+            pred_x0=x0,
+            pred_epsilon=out.astype(jnp.float32),
+            prev_sample=next_x,
+            timestep=t,
+            prev_timestep=t - step_ratio,
+        )
+        if guidance is not None:
+            next_x, u, aux = guidance.apply(model_fn, schedule, state, k_est, aux)
+        else:
+            u = estimator(model_fn, schedule, state, k_est)
+        return (next_x, x0, k, aux), (u, state.pred_epsilon)
+
+    idx = jnp.arange(n)
+    x0_init = jnp.zeros_like(x_T, jnp.float32)
+
+    if (estimator is None and guidance is None) or cfg.num_steps_uc <= 0:
+        (x, _, _), _ = jax.lax.scan(plain_body, (x_T, x0_init, key), idx)
+        return SampleResult(x, None, None, None)
+
+    w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, n)
+    aux = guidance.init(x_T) if guidance is not None else jnp.zeros((), jnp.float32)
+    x, x0_prev = x_T, x0_init
+    uncertainty = pred_eps = None
+    for lo, hi, in_window in ((0, w0, False), (w0, w1, True), (w1, n, False)):
+        if hi <= lo:
+            continue
+        if in_window:
+            (x, x0_prev, key, aux), (uncertainty, pred_eps) = jax.lax.scan(
+                window_body, (x, x0_prev, key, aux), idx[lo:hi]
+            )
+        else:
+            (x, x0_prev, key), _ = jax.lax.scan(plain_body, (x, x0_prev, key), idx[lo:hi])
+
+    return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1])

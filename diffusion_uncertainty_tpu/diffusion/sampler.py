@@ -56,6 +56,10 @@ class SamplerConfig:
     # ``scheduling_*.py:383-384``); num_steps_uc == 0 disables estimation
     after_step: int = 0
     num_steps_uc: int = 0
+    # begin the reverse chain at this step index (caller provides x at
+    # timesteps[start_step]) — the AUSE protocol denoises from halfway
+    # (``compute_ause.py:22-47``)
+    start_step: int = 0
 
 
 class SampleResult(NamedTuple):
@@ -145,12 +149,14 @@ def sample_ddim(
             next_x = step.prev_sample
         return (next_x, k, aux), (u, step.pred_epsilon)
 
+    s0 = cfg.start_step
     if (estimator is None and guidance is None) or cfg.num_steps_uc <= 0:
-        (x, _), _ = jax.lax.scan(plain_body, (x_T, key), (timesteps, prev_timesteps))
+        (x, _), _ = jax.lax.scan(plain_body, (x_T, key), (timesteps[s0:], prev_timesteps[s0:]))
         return SampleResult(x, None, None, None)
 
     w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, cfg.num_inference_steps)
-    segments = ((0, w0, False), (w0, w1, True), (w1, cfg.num_inference_steps, False))
+    w0 = max(w0, s0)
+    segments = ((s0, w0, False), (w0, w1, True), (w1, cfg.num_inference_steps, False))
 
     x = x_T
     aux = guidance.init(x_T) if guidance is not None else jnp.zeros((), jnp.float32)

@@ -26,11 +26,24 @@ import jax
 import jax.numpy as jnp
 
 from .diffusion.schedule import NoiseSchedule, make_schedule, cosine_schedule
-from .models import ADMUNet, ADMUNetConfig, ADMClassifier, ADMClassifierConfig, UNet2D, UNet2DConfig
+from .models import (
+    ADMClassifier,
+    ADMClassifierConfig,
+    ADMUNet,
+    ADMUNetConfig,
+    AutoencoderKL,
+    AutoencoderKLConfig,
+    UNet2D,
+    UNet2DConfig,
+    UViT,
+    UViTConfig,
+)
 from .models.convert import (
     convert_adm_classifier,
     convert_adm_unet,
+    convert_autoencoder_kl,
     convert_unet2d,
+    convert_uvit,
     load_torch_state_dict,
 )
 from .utils import paths
@@ -54,6 +67,9 @@ _CHECKPOINTS = {
     "imagenet64_classifier": "64x64_classifier.pt",
     "imagenet128_classifier": "128x128_classifier.pt",
     "cifar10": "ddpm-cifar10-32.bin",
+    "imagenet256": "imagenet256_uvit_huge.pth",
+    "imagenet512": "imagenet512_uvit_huge.pth",
+    "autoencoder": "autoencoder_kl_ema.pth",
 }
 
 
@@ -70,6 +86,9 @@ class ModelBundle:
     # stochastic variants used by estimators
     apply_fn_dropout: Callable = None  # type: ignore[assignment]
     apply_fn_act_noise: Callable = None  # type: ignore[assignment]
+    # latent-space models (U-ViT + KL AE): sample shape & decoder
+    sample_shape: tuple = None  # type: ignore[assignment]  # (H, W, C) the sampler operates on
+    decode_fn: Optional[Callable] = None  # latents [B,h,w,4] -> images [B,H,W,3]
 
 
 def _random_params(model, x, t, y, seed=0):
@@ -123,6 +142,8 @@ def instantiate_model_scheduler(
         model = UNet2D(cfg)
         num_classes = None
         convert = lambda sd: convert_unet2d(sd, cfg)
+    elif dataset in ("imagenet256", "imagenet512"):
+        return _instantiate_uvit(dataset, dtype, checkpoint, random_init, models_dir, schedule)
     elif dataset == "tiny":
         cfg = dataclasses.replace(ADMUNetConfig.tiny(), dropout=dropout or 0.1, dtype=dtype)
         model = ADMUNet(cfg)
@@ -174,6 +195,68 @@ def instantiate_model_scheduler(
         apply_fn=apply_fn,
         apply_fn_dropout=apply_fn_dropout,
         apply_fn_act_noise=apply_fn_act_noise,
+        sample_shape=(size, size, 3),
+    )
+
+
+def _instantiate_uvit(dataset, dtype, checkpoint, random_init, models_dir, schedule):
+    """Latent-space U-ViT-huge + frozen KL autoencoder (reference ``UViTAE``,
+    ``uvit/uvit_ae.py:4-25``; configs ``uvit/load_pretrained_models.py:34-37``)."""
+    size = DATASET_IMAGE_SIZE[dataset]
+    cfg = dataclasses.replace(
+        UViTConfig.imagenet256() if size == 256 else UViTConfig.imagenet512(), dtype=dtype
+    )
+    model = UViT(cfg)
+    z = cfg.img_size
+    x0 = jnp.zeros((1, z, z, cfg.in_chans))
+    t0 = jnp.asarray(0, jnp.int32)
+    y0 = jnp.zeros((1,), jnp.int32)
+
+    models_dir = Path(models_dir)
+    ckpt = checkpoint or models_dir / _CHECKPOINTS[dataset]
+    if random_init or not Path(ckpt).exists():
+        if not random_init:
+            raise FileNotFoundError(f"checkpoint {ckpt} not found")
+        params = _random_params(model, x0, t0, y0)
+    else:
+        params = jax.tree.map(jnp.asarray, convert_uvit(load_torch_state_dict(ckpt), cfg))
+
+    ae_cfg = dataclasses.replace(AutoencoderKLConfig.sd_kl_ema(), dtype=dtype)
+    ae = AutoencoderKL(ae_cfg)
+    ae_ckpt = models_dir / _CHECKPOINTS["autoencoder"]
+    if random_init or not Path(ae_ckpt).exists():
+        if not random_init:
+            raise FileNotFoundError(f"autoencoder checkpoint {ae_ckpt} not found")
+        ae_params = jax.tree.map(
+            lambda s: 0.02 * jnp.ones(s.shape, s.dtype),
+            jax.eval_shape(
+                lambda k: ae.init(k, jnp.zeros((1, size, size, 3)), "init", jax.random.key(0)),
+                jax.random.key(0),
+            ),
+        )
+    else:
+        ae_params = jax.tree.map(
+            jnp.asarray, convert_autoencoder_kl(load_torch_state_dict(ae_ckpt), ae_cfg)
+        )
+
+    def apply_fn(x, t, y, key):
+        return model.apply(params, x, t, y)
+
+    def decode_fn(latents):
+        return ae.apply(ae_params, latents, "decode")
+
+    return ModelBundle(
+        name=dataset,
+        model=model,
+        params=params,
+        schedule=schedule,
+        image_size=size,
+        num_classes=cfg.num_classes,
+        apply_fn=apply_fn,
+        apply_fn_dropout=apply_fn,  # U-ViT ckpts have no dropout at inference
+        apply_fn_act_noise=apply_fn,
+        sample_shape=(z, z, cfg.in_chans),
+        decode_fn=decode_fn,
     )
 
 

@@ -1,0 +1,82 @@
+"""Improved precision & recall (k-NN manifold membership), TPU-batched.
+
+Parity target: reference ``metrics/precision_recall.py`` (Kynkäänniemi et al.
+improved-P&R: per-sample k-th-NN radii define each manifold; precision =
+fraction of generated features inside the real manifold, recall = fraction of
+real features inside the generated manifold; ``:194-282``) and the vendored
+NVIDIA torch variant ``metrics/precision_recall_pytorch.py:16-185``.
+
+TPU design: pairwise squared distances computed in row/col tiles on the MXU
+(one ``x·yᵀ`` matmul per tile) under jit, k-th radius via ``lax.top_k`` —
+replaces the reference's numpy/torch batched loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["knn_radii", "manifold_membership", "precision_recall", "PRResult"]
+
+
+class PRResult(NamedTuple):
+    precision: float
+    recall: float
+
+
+def _pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """[N,D]x[M,D] -> [N,M] squared euclidean distances (MXU matmul form)."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True)
+    cross = a @ b.T
+    return jnp.maximum(a2 - 2.0 * cross + b2.T, 0.0)
+
+
+@dataclasses.dataclass
+class _Tiled:
+    tile: int = 2048
+
+
+def knn_radii(features: jnp.ndarray, k: int = 3, tile: int = 2048) -> jnp.ndarray:
+    """Squared distance to each sample's k-th nearest neighbour (excluding
+    itself — the reference keeps self-distance 0 and uses k+1 smallest,
+    ``precision_recall.py:228-240``)."""
+    n = features.shape[0]
+    radii = []
+    for lo in range(0, n, tile):
+        d = _pairwise_sq_dists(features[lo : lo + tile], features)
+        # k+1 smallest includes the self-distance 0
+        neg_top, _ = jax.lax.top_k(-d, k + 1)
+        radii.append(-neg_top[:, -1])
+    return jnp.concatenate(radii)
+
+
+def manifold_membership(
+    queries: jnp.ndarray, refs: jnp.ndarray, ref_radii: jnp.ndarray, tile: int = 2048
+) -> jnp.ndarray:
+    """For each query: is it within any reference sample's k-NN radius?"""
+    out = []
+    for lo in range(0, queries.shape[0], tile):
+        d = _pairwise_sq_dists(queries[lo : lo + tile], refs)
+        out.append(jnp.any(d <= ref_radii[None, :], axis=1))
+    return jnp.concatenate(out)
+
+
+def precision_recall(
+    real_features: np.ndarray, gen_features: np.ndarray, k: int = 3, tile: int = 2048
+) -> PRResult:
+    """Improved precision/recall (reference ``IPR.precision_and_recall``,
+    ``precision_recall.py:35-70``; default k=3)."""
+    real = jnp.asarray(real_features)
+    gen = jnp.asarray(gen_features)
+    real_radii = knn_radii(real, k, tile)
+    gen_radii = knn_radii(gen, k, tile)
+    precision = float(jnp.mean(manifold_membership(gen, real, real_radii, tile)))
+    recall = float(jnp.mean(manifold_membership(real, gen, gen_radii, tile)))
+    return PRResult(precision=precision, recall=recall)

@@ -67,14 +67,32 @@ def generate_uncertainty_dataset(
     shard_offset: int = 0,
     keep_in_memory: bool = True,
     collect_eps: bool = True,
+    decode_fn=None,  # latent models: latents -> images before uint8
+    sampler: str = "ddim",  # ddim | dpm (DPM-Solver++ order 2)
 ) -> GenerationResult:
     n = X_T.shape[0]
     num_batches = (n + batch_size - 1) // batch_size
     base_key = run_key(seed)
 
+    if sampler == "dpm":
+        from .diffusion.dpm_solver import DPMSolverConfig, sample_dpm_solver
+
+        dpm_cfg = DPMSolverConfig(
+            num_inference_steps=sampler_cfg.num_inference_steps,
+            num_train_timesteps=sampler_cfg.num_train_timesteps,
+            after_step=sampler_cfg.after_step,
+            num_steps_uc=sampler_cfg.num_steps_uc,
+        )
+
     def sample_fn(xT, yb, key):
         model_fn = lambda x, t, k: apply_fn(x, t, yb, k)
-        return sample_ddim(model_fn, schedule, xT, key, sampler_cfg, estimator=estimator, guidance=guidance)
+        if sampler == "dpm":
+            res = sample_dpm_solver(model_fn, schedule, xT, key, dpm_cfg, estimator=estimator, guidance=guidance)
+        else:
+            res = sample_ddim(model_fn, schedule, xT, key, sampler_cfg, estimator=estimator, guidance=guidance)
+        if decode_fn is not None:
+            res = res._replace(sample=decode_fn(res.sample))
+        return res
 
     in_shardings = None
     if mesh is not None:

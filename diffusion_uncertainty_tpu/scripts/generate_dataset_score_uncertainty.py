@@ -154,6 +154,7 @@ def main(argv=None):
         save_config(cfg, run_dir / "args.yaml")
 
     shard_offset = cfg.worker_index * 100000  # disjoint shard id space per worker
+    sampler = "dpm" if cfg.scheduler_type == "dpm_2_uncertainty_centered" else "ddim"
     res = generate_uncertainty_dataset(
         apply_fn,
         bundle.schedule,
@@ -167,6 +168,8 @@ def main(argv=None):
         run_dir=run_dir,
         shard_offset=shard_offset,
         keep_in_memory=False,
+        decode_fn=bundle.decode_fn,
+        sampler=sampler,
     )
     log.info("done; artifacts in %s", run_dir)
     return run_dir

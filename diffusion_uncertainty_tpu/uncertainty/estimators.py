@@ -278,6 +278,9 @@ ESTIMATORS: dict[str, Callable] = {
     "infer_noise": infer_noise,
     "flip": flip,
     "uncertainty_grad": grad_based,
+    # DPM-Solver-2 carries the centered estimator inside its step
+    # (scheduling_dpm_2_uncertainty_centered.py:946-968); pair with sampler="dpm"
+    "dpm_2_uncertainty_centered": centered,
     # short aliases
     "centered": centered,
     "zigzag_centered": zigzag_centered,

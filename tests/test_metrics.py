@@ -1,0 +1,138 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.metrics import (
+    RunningStats,
+    compute_statistics,
+    fid_from_stats,
+    frechet_distance,
+    precision_recall,
+)
+from diffusion_uncertainty_tpu.metrics.features import RandomConvFeatures
+from diffusion_uncertainty_tpu.metrics.fid import FIDEvaluator, extract_features
+from diffusion_uncertainty_tpu.metrics.nll import (
+    calc_bpd_loop,
+    discretized_gaussian_log_likelihood,
+    normal_kl,
+)
+from diffusion_uncertainty_tpu.diffusion import make_schedule
+
+
+def test_frechet_distance_identical_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 16)
+    mu, s = compute_statistics(f)
+    assert frechet_distance(mu, s, mu, s) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_gaussian_analytic():
+    """FID between N(0,I) and N(m,I) is ||m||^2 exactly."""
+    d = 8
+    mu1, s1 = np.zeros(d), np.eye(d)
+    mu2 = np.full(d, 0.5)
+    assert frechet_distance(mu1, s1, mu2, np.eye(d)) == pytest.approx(d * 0.25, rel=1e-9)
+    # different variances: trace term (sqrt(1*4)=2): d*(1+4-2*2)=d
+    assert frechet_distance(mu1, s1, mu1, 4 * np.eye(d)) == pytest.approx(d, rel=1e-9)
+
+
+def test_running_stats_matches_numpy_cov():
+    rng = np.random.RandomState(1)
+    f = rng.randn(1000, 5)
+    rs = RunningStats(5)
+    for lo in range(0, 1000, 128):
+        rs.update(f[lo : lo + 128])
+    mu, cov = rs.finalize()
+    np.testing.assert_allclose(mu, f.mean(0), rtol=1e-10)
+    np.testing.assert_allclose(cov, np.cov(f, rowvar=False), rtol=1e-8)
+
+
+def test_fid_evaluator_sensitivity():
+    """FID(real-like, real-like) should be far below FID(real-like, shifted)."""
+    ext = RandomConvFeatures(dim=64)
+    rng = np.random.RandomState(2)
+    real = rng.randint(0, 256, (256, 32, 32, 3), np.uint8)
+    similar = rng.randint(0, 256, (256, 32, 32, 3), np.uint8)
+    shifted = np.clip(rng.randint(0, 64, (256, 32, 32, 3)), 0, 255).astype(np.uint8)
+
+    real_stats = compute_statistics(extract_features(ext, real))
+    ev_same = FIDEvaluator(ext, real_stats)
+    ev_same.update(similar)
+    ev_diff = FIDEvaluator(ext, real_stats)
+    ev_diff.update(shifted)
+    assert ev_same.compute() < ev_diff.compute() / 5
+
+
+def test_precision_recall_identical_distributions():
+    rng = np.random.RandomState(3)
+    real = rng.randn(400, 16).astype(np.float32)
+    gen = rng.randn(400, 16).astype(np.float32)
+    pr = precision_recall(real, gen, k=3)
+    # finite-sample improved-PR on N=400 in 16-dim sits well below 1.0 even for
+    # identical distributions; the discriminative signal is vs the disjoint case
+    assert pr.precision > 0.6 and pr.recall > 0.6
+
+
+def test_precision_recall_disjoint_distributions():
+    rng = np.random.RandomState(4)
+    real = rng.randn(300, 16).astype(np.float32)
+    gen = rng.randn(300, 16).astype(np.float32) + 50.0
+    pr = precision_recall(real, gen, k=3)
+    assert pr.precision < 0.05 and pr.recall < 0.05
+
+
+def test_precision_recall_mode_collapse():
+    """Generator covering a tiny region: precision high, recall low."""
+    rng = np.random.RandomState(5)
+    real = rng.randn(400, 8).astype(np.float32)
+    gen = (0.01 * rng.randn(400, 8)).astype(np.float32)  # collapsed at origin
+    pr = precision_recall(real, gen, k=3)
+    assert pr.precision > 0.9
+    assert pr.recall < 0.3
+
+
+def test_normal_kl_zero_for_identical():
+    m = jnp.asarray([0.3, -1.0])
+    lv = jnp.asarray([0.1, -0.5])
+    np.testing.assert_allclose(np.asarray(normal_kl(m, lv, m, lv)), 0.0, atol=1e-7)
+
+
+def test_discretized_gaussian_ll_peaks_at_mean():
+    x = jnp.linspace(-0.5, 0.5, 11)
+    ll = discretized_gaussian_log_likelihood(x, jnp.zeros_like(x), jnp.full_like(x, -3.0))
+    assert int(jnp.argmax(ll)) == 5  # max at x == mean
+
+
+def test_bpd_loop_runs_and_is_positive():
+    sched = make_schedule("linear", 20)  # tiny chain for test speed
+
+    def model_fn6(x, t, key):
+        eps = 0.1 * x
+        var = jnp.zeros_like(x)  # learned_range midpoint
+        return jnp.concatenate([eps, var], axis=-1)
+
+    x0 = jax.random.uniform(jax.random.key(0), (2, 8, 8, 3), minval=-1, maxval=1)
+    res = calc_bpd_loop(model_fn6, sched, x0, jax.random.key(1))
+    assert res.total_bpd.shape == (2,)
+    assert res.vb_terms.shape == (20, 2)
+    assert bool(jnp.all(res.total_bpd > 0))
+    assert bool(jnp.all(jnp.isfinite(res.total_bpd)))
+
+
+def test_bpd_oracle_model_lower_than_bad_model():
+    sched = make_schedule("linear", 20)
+    x0 = jax.random.uniform(jax.random.key(2), (2, 8, 8, 3), minval=-1, maxval=1)
+
+    # oracle epsilon cannot be expressed as fn(x_t) alone, but a scaled-x model
+    # approximating the posterior should beat a zero model
+    def good(x, t, key):
+        # epsilon ~ x_t for heavily-noised inputs (x_t ≈ eps at high t)
+        return jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+
+    def bad(x, t, key):
+        return jnp.concatenate([jnp.full_like(x, 5.0), jnp.zeros_like(x)], axis=-1)
+
+    bpd_good = float(calc_bpd_loop(good, sched, x0, jax.random.key(3)).total_bpd.mean())
+    bpd_bad = float(calc_bpd_loop(bad, sched, x0, jax.random.key(3)).total_bpd.mean())
+    assert bpd_good < bpd_bad
