@@ -1,0 +1,4 @@
+"""Training modules (peripheral in the reference, optax-native here)."""
+
+from .score_uncertainty import ScoreUncertaintyModel, ScoreUncertaintyConfig, ScoreUncertaintyTrainer  # noqa: F401
+from .finetune_noise import FinetuneNoiseConfig, make_finetune_step  # noqa: F401

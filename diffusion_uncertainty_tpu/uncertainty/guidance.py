@@ -41,6 +41,7 @@ __all__ = [
     "make_mc_dropout_gradient_guidance",
     "make_model_gradient_guidance",
     "make_second_order_guidance",
+    "make_score_model_gradient_guidance",
     "GUIDANCE_FACTORIES",
 ]
 
@@ -342,6 +343,39 @@ def make_second_order_guidance(
     return Guidance(init, apply)
 
 
+def make_score_model_gradient_guidance(
+    score_model_apply: Callable,  # (score_map, timestep_index[B]) -> u_map
+    timesteps,  # inference timestep table (to map t -> step index)
+    normalize_grad: bool = False,
+    dcfg: DiffusionConfig = DiffusionConfig(),
+) -> Guidance:
+    """Trained-surrogate gradient guidance: backprop the ScoreUncertaintyModel
+    prediction to pred_epsilon and step ``eps += grad · ᾱ_t`` (reference
+    ``scheduling_ddim_score_uncertainty_model_gradient.py:519-575``; surrogate
+    from ``training.score_uncertainty``). ``normalize_grad`` min-max-normalizes
+    the gradient as in the reference option."""
+    ts = jnp.asarray(timesteps)
+
+    def apply(model_fn, schedule, state: StepState, key, aux):
+        ab_t = schedule.alpha_bar(state.timestep)
+        step_index = jnp.argmax((ts == state.timestep).astype(jnp.int32))
+        idx = jnp.full((state.pred_epsilon.shape[0],), step_index, jnp.int32)
+
+        def scalar_u(e):
+            u = score_model_apply(e, idx)
+            return jnp.sum(jnp.mean(u, axis=0)), u
+
+        grad, u = jax.grad(scalar_u, has_aux=True)(state.pred_epsilon.astype(jnp.float32))
+        if normalize_grad:
+            grad = (grad - grad.min()) / (grad.max() - grad.min() + 1e-20)
+        new_eps = state.pred_epsilon.astype(jnp.float32) + grad * ab_t
+        # uncertainty map broadcast back to the image channels for collection
+        u_map = jnp.broadcast_to(u, u.shape[:-1] + (state.pred_epsilon.shape[-1],))
+        return _recompute_prev(schedule, state, new_eps, dcfg), u_map, aux
+
+    return Guidance(_no_aux_init, apply)
+
+
 GUIDANCE_FACTORIES = {
     "percentile_posterior": make_percentile_guidance,
     "percentile_gradient": lambda **kw: make_percentile_guidance(use_posterior=False, **kw),
@@ -351,4 +385,5 @@ GUIDANCE_FACTORIES = {
     "mc_dropout_gradient": make_mc_dropout_gradient_guidance,
     "model_gradient_guided": make_model_gradient_guidance,
     "second_order": make_second_order_guidance,
+    "score_uncertainty_model_gradient": make_score_model_gradient_guidance,
 }

@@ -1,0 +1,48 @@
+"""Orbax-based parameter checkpointing.
+
+Replaces the reference's raw ``torch.save/load`` of model weights and
+Lightning ``.ckpt`` files (SURVEY.md §5.4): converted params and trained
+states save as Orbax checkpoints (async-capable, sharding-aware — every host
+restores its own shards, replacing the vendored MPI broadcast pattern of
+``metrics/iddpm/dist_util.py:53-72``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+__all__ = ["save_params", "load_params", "latest_step"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_params(path: Path, params: Any) -> Path:
+    path = Path(path).absolute()
+    _checkpointer().save(path, params, force=True)
+    return path
+
+
+def load_params(path: Path, template: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if template is not None:
+        return _checkpointer().restore(path, item=template)
+    return _checkpointer().restore(path)
+
+
+def latest_step(base: Path) -> Optional[Path]:
+    """Newest step-numbered subdirectory of a run's checkpoint dir."""
+    base = Path(base)
+    if not base.exists():
+        return None
+    steps = sorted(
+        (p for p in base.iterdir() if p.is_dir() and p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    return steps[-1] if steps else None
