@@ -56,6 +56,11 @@ class ADMUNetConfig:
     # affects checkpoint weight layout only (legacy head-major qkv vs qkv-major);
     # the flax attention kernel is order-agnostic, the converter permutes
     use_new_attention_order: bool = False
+    # flip_grad estimator support: register zero "perturbation" taps at every
+    # block output so activation gradients are reachable via jax.grad — the
+    # flax-native replacement for the reference's backward hooks
+    # (scheduling_ddim_flip_grad.py:292-296)
+    grad_taps: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
     # blocks whose output gets N(0, std²) noise when an 'act_noise' rng is
@@ -208,6 +213,8 @@ class ADMUNet(nn.Module):
         if tag in cfg.activation_noise_blocks and self.has_rng("act_noise"):
             key = self.make_rng("act_noise")
             h = h + cfg.activation_noise_std * jax.random.normal(key, h.shape, jnp.float32).astype(h.dtype)
+        if cfg.grad_taps:
+            h = self.perturb(f"tap_{tag}", h)
         return h
 
     @nn.compact

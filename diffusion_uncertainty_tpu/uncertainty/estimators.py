@@ -266,6 +266,53 @@ def grad_based(model_fn, schedule, state, key, cfg: EstimatorConfig):
     return jnp.abs(jax.grad(scalar_u)(state.pred_epsilon.astype(jnp.float32)))
 
 
+def make_flip_grad_estimator(model, params, y=None):
+    """flip_grad: activation-gradient saliency of the flip-consistency loss.
+
+    Reference mechanism (``scheduling_ddim_flip_grad.py:292-296,511-535``):
+    backward hooks on every block capture ∂MSE(ε(x), flip(ε(flip(x))))/∂activation,
+    channel-amax + min-max-normalize each map, nearest-upscale all maps to the
+    finest resolution, and amax across layers. Here the hooks are flax
+    ``perturb`` taps (the model must be built with ``grad_taps=True``) and the
+    whole backward pass is one ``jax.grad`` over the perturbations collection.
+
+    Returns an estimator with the standard signature (the passed ``model_fn``
+    is ignored — this estimator needs the raw module + params). Output has a
+    single channel (the reference's layer-amax map).
+    """
+    base_vars = dict(params)
+
+    def estimator(model_fn, schedule, state: StepState, key):
+        x = state.sample
+        t = state.timestep
+        b, height, width, _ = x.shape
+
+        # zero-initialized taps (shapes discovered via one mutable apply)
+        _, pvars = model.apply(
+            {**base_vars}, x, t, y, mutable="perturbations"
+        )
+        zeros = jax.tree.map(jnp.zeros_like, pvars["perturbations"])
+
+        def loss_fn(perts):
+            vars_p = {**base_vars, "perturbations": perts}
+            eps = model.apply(vars_p, x, t, y)[..., :3]
+            eps_f = model.apply(vars_p, jnp.flip(x, axis=1), t, y)[..., :3]
+            d = eps.astype(jnp.float32) - jnp.flip(eps_f, axis=1).astype(jnp.float32)
+            return jnp.mean(d * d)
+
+        grads = jax.grad(loss_fn)(zeros)
+
+        def to_map(g):
+            g = jnp.max(jnp.abs(g.astype(jnp.float32)), axis=-1, keepdims=True)
+            g = (g - g.min()) / (g.max() - g.min() + 1e-20)
+            return jax.image.resize(g, (b, height, width, 1), "nearest")
+
+        maps = [to_map(g) for g in jax.tree.leaves(grads)]
+        return jnp.max(jnp.concatenate(maps, axis=-1), axis=-1, keepdims=True)
+
+    return estimator
+
+
 ESTIMATORS: dict[str, Callable] = {
     # canonical names = reference CLI --scheduler-type choices (argparse.py:30-43)
     "uncertainty": activation_noise,

@@ -202,6 +202,7 @@ def make_mask_guidance(
     threshold: float = 0.0,
     threshold_mode: str = "max",  # max: zero out u >= thr; min: zero out u <= thr
     normalize: bool = True,
+    channel_amax: bool = False,
     dcfg: DiffusionConfig = DiffusionConfig(),
 ) -> Guidance:
     """Scheduler-internal epsilon masks.
@@ -209,6 +210,9 @@ def make_mask_guidance(
     binary     — reference ``scheduling_ddim_uncertainty_threshold.py:525-580``
     multiscale — reference ``scheduling_ddim_infer_noise_multiscale_threshold.py
                  :520-571`` (soft 1.0/0.9/0.8 levels on z-normalized u)
+    flip_threshold — pass ``est_cfg.name='flip', channel_amax=True``
+                 (``scheduling_ddim_flip_threshold.py:537-555``: channel-amax
+                 before normalization)
     x0 is recomputed from the ORIGINAL model output before the masked update,
     matching the reference block exactly.
     """
@@ -216,6 +220,8 @@ def make_mask_guidance(
 
     def apply(model_fn, schedule, state: StepState, key, aux):
         u = estimator(model_fn, schedule, state, key)
+        if channel_amax:
+            u = jnp.max(u, axis=-1, keepdims=True)
         if normalize:
             un = (u - u.mean()) / u.std()
         else:
@@ -382,6 +388,9 @@ GUIDANCE_FACTORIES = {
     "threshold_posterior": make_threshold_guidance,
     "uncertainty_threshold": make_mask_guidance,
     "multiscale_threshold": lambda est_cfg, **kw: make_mask_guidance(est_cfg, mode="multiscale", **kw),
+    "flip_threshold": lambda **kw: make_mask_guidance(
+        EstimatorConfig(name="flip"), channel_amax=True, **kw
+    ),
     "mc_dropout_gradient": make_mc_dropout_gradient_guidance,
     "model_gradient_guided": make_model_gradient_guidance,
     "second_order": make_second_order_guidance,

@@ -174,3 +174,49 @@ def test_ensemble_chunking_matches_full_vmap():
 def test_unknown_estimator_raises():
     with pytest.raises(KeyError):
         make_estimator(EstimatorConfig(name="uncertainty_fisher"))
+
+
+def test_flip_grad_estimator(sched):
+    """Activation-gradient saliency via perturb taps on the tiny ADM UNet."""
+    import dataclasses as _dc
+
+    from diffusion_uncertainty_tpu.models import ADMUNet, ADMUNetConfig
+    from diffusion_uncertainty_tpu.uncertainty.estimators import make_flip_grad_estimator
+
+    cfg = _dc.replace(ADMUNetConfig.tiny(), grad_taps=True)
+    model = ADMUNet(cfg)
+    x = jnp.ones((2, 16, 16, 3)) * 0.3
+    t = jnp.asarray(500)
+    y = jnp.asarray([0, 1])
+    variables = model.init(jax.random.key(0), x, t, y)
+    # jitter so outputs are non-trivial (zero-init heads otherwise)
+    leaves, treedef = jax.tree.flatten(variables["params"])
+    keys = jax.random.split(jax.random.key(1), len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [p + 0.05 * jax.random.normal(k, p.shape, p.dtype) for p, k in zip(leaves, keys)]
+    )
+
+    est = make_flip_grad_estimator(model, {"params": params}, y=y)
+    state = StepState(
+        sample=x,
+        pred_x0=x,
+        pred_epsilon=jnp.zeros_like(x),
+        prev_sample=x,
+        timestep=t,
+        prev_timestep=jnp.asarray(480),
+    )
+    u = est(None, sched, state, jax.random.key(2))
+    assert u.shape == (2, 16, 16, 1)
+    assert bool(jnp.all(jnp.isfinite(u)))
+    assert float(u.max()) > 0
+
+
+def test_flip_threshold_guidance(sched):
+    from diffusion_uncertainty_tpu.diffusion import SamplerConfig, sample_ddim
+    from diffusion_uncertainty_tpu.uncertainty.guidance import GUIDANCE_FACTORIES
+
+    g = GUIDANCE_FACTORIES["flip_threshold"]()
+    model_fn = lambda x, t, k: 0.2 * x
+    cfg = SamplerConfig(num_inference_steps=8, after_step=2, num_steps_uc=3)
+    res = sample_ddim(model_fn, sched, jnp.ones(SHAPE), jax.random.key(0), cfg, guidance=g)
+    assert bool(jnp.all(jnp.isfinite(res.sample)))

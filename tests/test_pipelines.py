@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.diffusion import make_schedule
+from diffusion_uncertainty_tpu.diffusion.flow_match import FlowMatchConfig, sample_flow_match
+from diffusion_uncertainty_tpu.pipelines import (
+    T2IPipelineConfig,
+    TextToImageUncertaintyPipeline,
+    cfg_combine,
+)
+
+
+def toy_denoiser(z, t, embeds, key):
+    """Embedding-conditioned toy epsilon model (stands in for an SD UNet)."""
+    scale = jnp.mean(embeds, axis=(1, 2))[:, None, None, None]
+    return 0.3 * z * (1.0 + 0.1 * scale)
+
+
+def test_cfg_combine():
+    u = jnp.zeros((2, 4))
+    c = jnp.ones((2, 4))
+    np.testing.assert_allclose(np.asarray(cfg_combine(u, c, 7.5)), 7.5)
+    np.testing.assert_allclose(np.asarray(cfg_combine(u, c, 1.0)), 1.0)
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return make_schedule("scaled_linear", 1000, 0.00085, 0.012)
+
+
+def test_t2i_pipeline_plain(sched):
+    pipe = TextToImageUncertaintyPipeline(
+        toy_denoiser, sched, cfg=T2IPipelineConfig(num_inference_steps=8, latent_size=8)
+    )
+    cond = jnp.ones((2, 4, 16))
+    res = pipe(cond, jax.random.key(0))
+    assert res.images.shape == (2, 8, 8, 4)
+    assert res.uncertainty is None
+    assert bool(jnp.all(jnp.isfinite(res.images)))
+
+
+def test_t2i_pipeline_cfg_and_uncertainty(sched):
+    pipe = TextToImageUncertaintyPipeline(
+        toy_denoiser,
+        sched,
+        cfg=T2IPipelineConfig(
+            num_inference_steps=8, latent_size=8, guidance_scale=5.0,
+            start_step_uc=3, num_steps_uc=3, M=3, percentile=0.9,
+        ),
+    )
+    cond = jnp.ones((2, 4, 16))
+    uncond = jnp.zeros((2, 4, 16))
+    res = pipe(cond, jax.random.key(1), uncond_embeds=uncond)
+    assert res.uncertainty.shape == (2, 3, 8, 8, 4)
+    assert bool(jnp.all(jnp.isfinite(res.images)))
+
+    # CFG must change the trajectory vs unconditional-only
+    res_plain = TextToImageUncertaintyPipeline(
+        toy_denoiser, sched, cfg=T2IPipelineConfig(num_inference_steps=8, latent_size=8)
+    )(cond, jax.random.key(1))
+    assert not np.allclose(np.asarray(res.latents), np.asarray(res_plain.latents))
+
+
+def test_t2i_decode_fn(sched):
+    decode = lambda z: jnp.repeat(z[..., :1], 3, axis=-1) * 2.0
+    pipe = TextToImageUncertaintyPipeline(
+        toy_denoiser, sched, decode_fn=decode,
+        cfg=T2IPipelineConfig(num_inference_steps=4, latent_size=8),
+    )
+    res = pipe(jnp.ones((1, 4, 16)), jax.random.key(2))
+    assert res.images.shape == (1, 8, 8, 3)
+
+
+def test_flow_match_oracle_recovers_x0():
+    """Constant velocity v = eps - x0: Euler integration is exact."""
+    k1, k2 = jax.random.split(jax.random.key(3))
+    x0 = jax.random.uniform(k1, (2, 8, 8, 4), minval=-0.8, maxval=0.8)
+    eps = jax.random.normal(k2, (2, 8, 8, 4))
+    v = eps - x0
+    x_T = eps  # sigma=1 start: x = (1-1)x0 + 1*eps
+
+    cfg = FlowMatchConfig(num_inference_steps=10, shift=1.0)
+    res = sample_flow_match(lambda x, t, k: v, x_T, jax.random.key(4), cfg)
+    np.testing.assert_allclose(np.asarray(res.sample), np.asarray(x0), atol=1e-4)
+
+
+def test_flow_match_uncertainty_window():
+    model = lambda x, t, k: 0.3 * x
+    cfg = FlowMatchConfig(num_inference_steps=10, after_step=4, num_steps_uc=3, M=3)
+    res = sample_flow_match(model, jnp.ones((2, 8, 8, 4)), jax.random.key(5), cfg)
+    assert res.uncertainty.shape == (3, 2, 8, 8, 4)
+    assert bool(jnp.all(jnp.isfinite(res.sample)))
+    assert len(res.sigmas) == 3
+
+
+def test_flow_match_sigma_schedule_properties():
+    from diffusion_uncertainty_tpu.diffusion.flow_match import _sigmas
+
+    sig = _sigmas(FlowMatchConfig(num_inference_steps=28, shift=3.0))
+    assert sig[0] == pytest.approx(1.0)
+    assert sig[-1] == 0.0
+    assert np.all(np.diff(sig) < 0)
