@@ -127,3 +127,29 @@ def test_threshold_script_end_to_end(root, bundle):
 def test_local_shard_bounds():
     assert local_shard_bounds(10, 0, 3) == (0, 3)
     assert local_shard_bounds(10, 2, 3) == (6, 10)  # last rank takes remainder
+
+
+def test_plot_scripts(root, bundle):
+    from dataclasses import dataclass
+
+    from diffusion_uncertainty_tpu.scripts.plot_results import main as plot_main
+
+    @dataclass
+    class Meta:
+        dataset: str = "tiny"
+        scheduler_type: str = "uncertainty_centered"
+
+    run_dir = new_run_dir(config=Meta())
+    _gen(bundle, run_dir=run_dir, keep=False)
+    for kind in ("uncertainty_schedule", "image_grid", "uncertainty_maps"):
+        out = plot_main(["--kind", kind, "--run-dir", str(run_dir), "--num-images", "4"])
+        assert out.exists() and out.stat().st_size > 0, kind
+
+
+def test_unknown_plot_kind(root):
+    import pytest as _pytest
+
+    from diffusion_uncertainty_tpu.scripts.plot_results import main as plot_main
+
+    with _pytest.raises(SystemExit):
+        plot_main(["--kind", "nope"])
