@@ -79,12 +79,15 @@ def run_config(cfg_m: ADMUNetConfig, tag: str) -> dict:
     n_params = sum(p.size for p in jax.tree.leaves(params))
     log(f"[{tag}] params: {n_params/1e6:.1f}M")
 
-    def model_fn(xx, tt, key):
-        return model.apply(params, xx, tt, y)[..., :3]
+    # params are an explicit jit ARGUMENT everywhere: a closure would embed
+    # the 421M weights as program constants (843MB of literals), which is both
+    # wasteful and overflows remote-compile transports
+    def model_fn_of(p):
+        return lambda xx, tt, key: model.apply(p, xx, tt, y)[..., :3]
 
     # HLO-level cost analysis on the lowering — no extra backend compile
-    fwd = jax.jit(lambda xx: model_fn(xx, t, None))
-    cost = fwd.lower(x).cost_analysis() or {}
+    fwd = jax.jit(lambda p, xx: model_fn_of(p)(xx, t, None))
+    cost = fwd.lower(params, x).cost_analysis() or {}
     flops_per_image_fwd = float(cost.get("flops", 0.0)) / BATCH
     if not flops_per_image_fwd:
         flops_per_image_fwd = 110e9
@@ -97,8 +100,8 @@ def run_config(cfg_m: ADMUNetConfig, tag: str) -> dict:
     )
 
     sample_jit = jax.jit(
-        lambda xT, key: sample_ddim(model_fn, schedule, xT, key, scfg, estimator=est),
-        donate_argnums=(0,),
+        lambda p, xT, key: sample_ddim(model_fn_of(p), schedule, xT, key, scfg, estimator=est),
+        donate_argnums=(1,),
     )
 
     def new_x(i):
@@ -106,14 +109,14 @@ def run_config(cfg_m: ADMUNetConfig, tag: str) -> dict:
 
     log(f"[{tag}] compiling sampling loop...")
     t0 = time.perf_counter()
-    res = sample_jit(new_x(0), jax.random.key(2))
+    res = sample_jit(params, new_x(0), jax.random.key(2))
     jax.block_until_ready(res.sample)
     log(f"[{tag}] compile+first run: {time.perf_counter()-t0:.1f}s")
 
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        res = sample_jit(new_x(i + 1), jax.random.key(20 + i))
+        res = sample_jit(params, new_x(i + 1), jax.random.key(20 + i))
         jax.block_until_ready(res.sample)
         times.append(time.perf_counter() - t0)
     best = min(times)

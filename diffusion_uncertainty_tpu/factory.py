@@ -81,14 +81,17 @@ class ModelBundle:
     schedule: NoiseSchedule
     image_size: int
     num_classes: Optional[int]
-    # conditioned forward: (x, t, y, key) -> epsilon [B,H,W,3]
+    # conditioned forward: (params, x, t, y, key) -> epsilon [B,H,W,3].
+    # ``params`` is the bundle's params dict, passed as an explicit jit
+    # argument by every caller — closing over it would embed the weights as
+    # constants in each compiled program (SURVEY.md §7.1.4 donation discipline)
     apply_fn: Callable = None  # type: ignore[assignment]
     # stochastic variants used by estimators
     apply_fn_dropout: Callable = None  # type: ignore[assignment]
     apply_fn_act_noise: Callable = None  # type: ignore[assignment]
     # latent-space models (U-ViT + KL AE): sample shape & decoder
     sample_shape: tuple = None  # type: ignore[assignment]  # (H, W, C) the sampler operates on
-    decode_fn: Optional[Callable] = None  # latents [B,h,w,4] -> images [B,H,W,3]
+    decode_fn: Optional[Callable] = None  # (params, latents[B,h,w,4]) -> images [B,H,W,3]
 
 
 def _random_params(model, x, t, y, seed=0):
@@ -171,24 +174,27 @@ def instantiate_model_scheduler(
 
     is_cc = num_classes is not None
 
-    def apply_fn(x, t, y, key):
-        out = model.apply(params, x, t, y if is_cc else None)
+    # params ALWAYS flow as an explicit argument (never closed over): closures
+    # embed the weights as constants into each compiled program, which bloats
+    # compilation (and overflows remote-compile transports) for 100M+ models
+    def apply_fn(p, x, t, y, key):
+        out = model.apply(p["model"], x, t, y if is_cc else None)
         return out[..., :3]  # learned-variance heads sliced off (ref generate_samples.py:76)
 
-    def apply_fn_dropout(x, t, y, key):
+    def apply_fn_dropout(p, x, t, y, key):
         out = model.apply(
-            params, x, t, y if is_cc else None, deterministic=False, rngs={"dropout": key}
+            p["model"], x, t, y if is_cc else None, deterministic=False, rngs={"dropout": key}
         )
         return out[..., :3]
 
-    def apply_fn_act_noise(x, t, y, key):
-        out = model.apply(params, x, t, y if is_cc else None, rngs={"act_noise": key})
+    def apply_fn_act_noise(p, x, t, y, key):
+        out = model.apply(p["model"], x, t, y if is_cc else None, rngs={"act_noise": key})
         return out[..., :3]
 
     return ModelBundle(
         name=dataset,
         model=model,
-        params=params,
+        params={"model": params},
         schedule=schedule,
         image_size=size,
         num_classes=num_classes,
@@ -239,16 +245,16 @@ def _instantiate_uvit(dataset, dtype, checkpoint, random_init, models_dir, sched
             jnp.asarray, convert_autoencoder_kl(load_torch_state_dict(ae_ckpt), ae_cfg)
         )
 
-    def apply_fn(x, t, y, key):
-        return model.apply(params, x, t, y)
+    def apply_fn(p, x, t, y, key):
+        return model.apply(p["model"], x, t, y)
 
-    def decode_fn(latents):
-        return ae.apply(ae_params, latents, "decode")
+    def decode_fn(p, latents):
+        return ae.apply(p["ae"], latents, "decode")
 
     return ModelBundle(
         name=dataset,
         model=model,
-        params=params,
+        params={"model": params, "ae": ae_params},
         schedule=schedule,
         image_size=size,
         num_classes=cfg.num_classes,

@@ -36,8 +36,9 @@ from .utils.rng import batch_key, run_key
 
 log = get_logger(__name__)
 
-# conditioned model: (params-closed) (x, t, y, key) -> epsilon [B,H,W,C]
-ApplyFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray]
+# conditioned model: (params, x, t, y, key) -> epsilon [B,H,W,C]; params flow
+# as an explicit jit argument so weights are never embedded as constants
+ApplyFn = Callable[..., jnp.ndarray]
 
 __all__ = ["GenerationResult", "generate_uncertainty_dataset"]
 
@@ -59,6 +60,7 @@ def generate_uncertainty_dataset(
     X_T: np.ndarray,  # [N, H, W, C]
     y: Optional[np.ndarray],  # [N] int labels or None (unconditional)
     batch_size: int,
+    params: Any = None,  # bundle params dict, threaded through the jit
     seed: int = 0,
     estimator=None,
     guidance=None,
@@ -84,19 +86,24 @@ def generate_uncertainty_dataset(
             num_steps_uc=sampler_cfg.num_steps_uc,
         )
 
-    def sample_fn(xT, yb, key):
-        model_fn = lambda x, t, k: apply_fn(x, t, yb, k)
+    def sample_fn(p, xT, yb, key):
+        model_fn = lambda x, t, k: apply_fn(p, x, t, yb, k)
         if sampler == "dpm":
             res = sample_dpm_solver(model_fn, schedule, xT, key, dpm_cfg, estimator=estimator, guidance=guidance)
         else:
             res = sample_ddim(model_fn, schedule, xT, key, sampler_cfg, estimator=estimator, guidance=guidance)
         if decode_fn is not None:
-            res = res._replace(sample=decode_fn(res.sample))
+            res = res._replace(sample=decode_fn(p, res.sample))
         return res
 
     in_shardings = None
     if mesh is not None:
-        in_shardings = (batch_sharding(mesh, 4), batch_sharding(mesh, 1), replicated(mesh))
+        in_shardings = (
+            replicated(mesh),
+            batch_sharding(mesh, 4),
+            batch_sharding(mesh, 1),
+            replicated(mesh),
+        )
     sample_jit = jax.jit(sample_fn, in_shardings=in_shardings)
 
     images, uncs, epss, used_x, used_y = [], [], [], [], []
@@ -115,7 +122,7 @@ def generate_uncertainty_dataset(
             yb = np.concatenate([yb, np.repeat(yb[-1:], pad, axis=0)])
 
         key = batch_key(base_key, b)
-        res = sample_fn_run(sample_jit, xb, yb, key, mesh)
+        res = sample_fn_run(sample_jit, params, xb, yb, key, mesh)
         imgs = np.asarray(jax.device_get(to_uint8(res.sample)))[: hi - lo]
         u = (
             np.asarray(jax.device_get(res.uncertainty)).swapaxes(0, 1)[: hi - lo]
@@ -158,9 +165,9 @@ def generate_uncertainty_dataset(
     )
 
 
-def sample_fn_run(sample_jit, xb, yb, key, mesh):
+def sample_fn_run(sample_jit, params, xb, yb, key, mesh):
     if mesh is None:
-        return sample_jit(jnp.asarray(xb), jnp.asarray(yb), key)
+        return sample_jit(params, jnp.asarray(xb), jnp.asarray(yb), key)
     xd = jax.device_put(jnp.asarray(xb), batch_sharding(mesh, 4))
     yd = jax.device_put(jnp.asarray(yb), batch_sharding(mesh, 1))
-    return sample_jit(xd, yd, key)
+    return sample_jit(params, xd, yd, key)

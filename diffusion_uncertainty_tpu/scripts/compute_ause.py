@@ -100,8 +100,8 @@ def main(argv=None):
         timesteps=ts,
     )
 
-    def run_batch(x0, y, key):
-        model_fn = lambda x, t, k: apply_fn(x, t, y, k)
+    def run_batch(p, x0, y, key):
+        model_fn = lambda x, t, k: apply_fn(p, x, t, y, k)
         k_noise, k_sample = jax.random.split(key)
         x0s = 2.0 * x0 - 1.0
         noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
@@ -119,7 +119,7 @@ def main(argv=None):
     gts, recons, uncs = [], [], []
     for b, batch in enumerate(iterate_batches(dataset, cfg.batch_size, indices)):
         key = jr.fold_in(jr.key(cfg.seed), b)
-        recon, u = run_jit(jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), key)
+        recon, u = run_jit(bundle.params, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), key)
         cnt = batch["count"]
         gts.append(batch["image"][:cnt])
         recons.append(np.asarray(recon)[:cnt])

@@ -47,10 +47,10 @@ def main(argv=None):
     bundle = instantiate_model_scheduler(cfg.dataset, dtype=dtype, random_init=cfg.random_init)
 
     # 6-channel forward (epsilon + raw variance), class label fixed per batch
-    def model6(y):
+    def model6(p, y):
         def fn(x, t, key):
             tt = jnp.broadcast_to(t, (x.shape[0],))
-            return bundle.model.apply(bundle.params, x, tt, y if bundle.num_classes else None)
+            return bundle.model.apply(p["model"], x, tt, y if bundle.num_classes else None)
 
         return fn
 
@@ -63,8 +63,8 @@ def main(argv=None):
         ds = ImagenetDataset(cfg.data_root, "val", image_size=bundle.image_size)
 
     bpd_jit = jax.jit(
-        lambda x0, y, key: calc_bpd_loop(
-            model6(y), bundle.schedule, x0, key, variance_type=cfg.variance_type
+        lambda p, x0, y, key: calc_bpd_loop(
+            model6(p, y), bundle.schedule, x0, key, variance_type=cfg.variance_type
         ).total_bpd
     )
 
@@ -72,7 +72,7 @@ def main(argv=None):
     for b, batch in enumerate(iterate_batches(ds, cfg.batch_size, range(min(cfg.num_samples, len(ds))))):
         x0 = jnp.asarray(batch["image"]) * 2.0 - 1.0
         y = jnp.asarray(batch["label"])
-        bpd = bpd_jit(x0, y, jax.random.fold_in(jax.random.key(cfg.seed), b))
+        bpd = bpd_jit(bundle.params, x0, y, jax.random.fold_in(jax.random.key(cfg.seed), b))
         totals.append(np.asarray(bpd)[: batch["count"]])
         log.info("batch %d: bpd %.4f", b, float(np.mean(totals[-1])))
     total = float(np.mean(np.concatenate(totals)))

@@ -136,11 +136,13 @@ def main(argv=None):
     estimator = make_estimator(est_cfg, timesteps=ts)
 
     apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
+    params = bundle.params
     if cfg.classifier_scale > 0:
         clf_model, clf_params, _ = load_classifier(cfg.dataset, random_init=cfg.random_init)
+        params = {**params, "classifier": clf_params}
         apply_fn = with_classifier_guidance(
             apply_fn,
-            lambda x, t: clf_model.apply(clf_params, x, t),
+            lambda p, x, t: clf_model.apply(p["classifier"], x, t),
             bundle.schedule,
             cfg.classifier_scale,
         )
@@ -162,6 +164,7 @@ def main(argv=None):
         x_t,
         y,
         cfg.batch_size,
+        params=params,
         seed=cfg.seed,
         estimator=estimator,
         mesh=mesh,

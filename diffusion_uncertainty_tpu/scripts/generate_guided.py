@@ -105,7 +105,7 @@ def main(argv=None):
     def gen(guidance):
         return generate_uncertainty_dataset(
             apply_fn, bundle.schedule, sampler_cfg, x_t, y, cfg.batch_size,
-            seed=cfg.seed, guidance=guidance, decode_fn=bundle.decode_fn,
+            params=bundle.params, seed=cfg.seed, guidance=guidance, decode_fn=bundle.decode_fn,
         )
 
     log.info("generating plain baseline...")

@@ -68,7 +68,6 @@ def main(argv=None):
     size = bundle.image_size
     xT = jax.random.normal(jax.random.key(cfg.seed), (cfg.batch_size, size, size, 3))
     y = jnp.zeros((cfg.batch_size,), jnp.int32)
-    model_fn = lambda x, t, k: apply_fn(x, t, y, k)
 
     est = make_estimator(
         EstimatorConfig(name=cfg.scheduler_type, M=cfg.M, num_zigzag=cfg.num_zigzag)
@@ -82,12 +81,15 @@ def main(argv=None):
     )
     plain_cfg = dataclasses.replace(uc_cfg, num_steps_uc=0)
 
-    f_uc = jax.jit(lambda x, k: sample_ddim(model_fn, bundle.schedule, x, k, uc_cfg, estimator=est))
-    f_plain = jax.jit(lambda x, k: sample_ddim(model_fn, bundle.schedule, x, k, plain_cfg))
+    def mf(p):
+        return lambda x, t, k: apply_fn(p, x, t, y, k)
+
+    f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est))
+    f_plain = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, plain_cfg))
 
     key = jax.random.key(cfg.seed + 1)
-    t_uc = _time(f_uc, xT, key, repeats=cfg.repeats)
-    t_plain = _time(f_plain, xT, key, repeats=cfg.repeats)
+    t_uc = _time(f_uc, bundle.params, xT, key, repeats=cfg.repeats)
+    t_plain = _time(f_plain, bundle.params, xT, key, repeats=cfg.repeats)
 
     record = {
         "dataset": cfg.dataset,

@@ -89,7 +89,8 @@ def main(argv=None):
         t0 = time.perf_counter()
         res = generate_uncertainty_dataset(
             apply_fn, bundle.schedule, sampler_cfg, x_t, yy, cfg.batch_size,
-            seed=cfg.seed, estimator=estimator, guidance=guidance, decode_fn=bundle.decode_fn,
+            params=bundle.params, seed=cfg.seed, estimator=estimator, guidance=guidance,
+            decode_fn=bundle.decode_fn,
         )
         elapsed = time.perf_counter() - t0
         rec = {

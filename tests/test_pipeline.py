@@ -42,7 +42,7 @@ def _gen(bundle, run_dir=None, mesh=None, n=5, batch=2, keep=True):
     est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=2))
     return generate_uncertainty_dataset(
         bundle.apply_fn, bundle.schedule, cfg, x_t, y, batch,
-        estimator=est, run_dir=run_dir, mesh=mesh, keep_in_memory=keep,
+        params=bundle.params, estimator=est, run_dir=run_dir, mesh=mesh, keep_in_memory=keep,
     )
 
 
