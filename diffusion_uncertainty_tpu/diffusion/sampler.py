@@ -67,6 +67,7 @@ class SampleResult(NamedTuple):
     uncertainty: Optional[jnp.ndarray]  # [num_steps_uc, B, ...] or None
     pred_epsilon: Optional[jnp.ndarray]  # [num_steps_uc, B, ...] or None
     window_timesteps: Optional[np.ndarray]  # [num_steps_uc] int32 (host, static)
+    intermediates: Optional[jnp.ndarray] = None  # [T, B, ...] per-step x_{t-1}
 
 
 def _recompute_prev(
@@ -97,6 +98,7 @@ def sample_ddim(
     cfg: SamplerConfig,
     estimator: Optional[EstimatorFn] = None,
     guidance=None,  # Optional[uncertainty.guidance.Guidance]
+    collect_intermediates: bool = False,
 ) -> SampleResult:
     """Run the full reverse chain; jit/pjit-able end to end.
 
@@ -127,7 +129,8 @@ def sample_ddim(
         t, t_prev = tt
         k, k_step = jax.random.split(k)
         step = base_step(x, t, t_prev, k_step)
-        return (step.prev_sample, k), None
+        ys = step.prev_sample if collect_intermediates else None
+        return (step.prev_sample, k), ys
 
     def window_body(carry, tt):
         x, k, aux = carry
@@ -147,12 +150,13 @@ def sample_ddim(
         else:
             u = estimator(model_fn, schedule, state, k_est)
             next_x = step.prev_sample
-        return (next_x, k, aux), (u, step.pred_epsilon)
+        ys = next_x if collect_intermediates else None
+        return (next_x, k, aux), (u, step.pred_epsilon, ys)
 
     s0 = cfg.start_step
     if (estimator is None and guidance is None) or cfg.num_steps_uc <= 0:
-        (x, _), _ = jax.lax.scan(plain_body, (x_T, key), (timesteps[s0:], prev_timesteps[s0:]))
-        return SampleResult(x, None, None, None)
+        (x, _), inter = jax.lax.scan(plain_body, (x_T, key), (timesteps[s0:], prev_timesteps[s0:]))
+        return SampleResult(x, None, None, None, inter)
 
     w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, cfg.num_inference_steps)
     w0 = max(w0, s0)
@@ -161,16 +165,20 @@ def sample_ddim(
     x = x_T
     aux = guidance.init(x_T) if guidance is not None else jnp.zeros((), jnp.float32)
     uncertainty = pred_eps = None
+    inters = []
     for lo, hi, in_window in segments:
         if hi <= lo:
             continue
         xs = (timesteps[lo:hi], prev_timesteps[lo:hi])
         if in_window:
-            (x, key, aux), (uncertainty, pred_eps) = jax.lax.scan(window_body, (x, key, aux), xs)
+            (x, key, aux), (uncertainty, pred_eps, inter) = jax.lax.scan(window_body, (x, key, aux), xs)
         else:
-            (x, key), _ = jax.lax.scan(plain_body, (x, key), xs)
+            (x, key), inter = jax.lax.scan(plain_body, (x, key), xs)
+        if collect_intermediates:
+            inters.append(inter)
 
-    return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1])
+    intermediates = jnp.concatenate(inters, axis=0) if collect_intermediates else None
+    return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1], intermediates)
 
 
 def to_uint8(x: jnp.ndarray) -> jnp.ndarray:

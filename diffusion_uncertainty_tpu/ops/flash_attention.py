@@ -67,8 +67,39 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk"))
 def flash_attention(
+    q: jnp.ndarray,  # [B, S, H, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bq: int = 256,
+    bk: int = 256,
+) -> jnp.ndarray:
+    """vmap-safe wrapper: the default pallas batching rule appends the mapped
+    axis to every block (an M-member ensemble multiplies VMEM blocks by M);
+    attention is batch-parallel so the custom rule folds [V,B,S,H,D] into the
+    batch axis instead."""
+
+    @jax.custom_batching.custom_vmap
+    def call(q_, k_, v_):
+        return _flash_attention(q_, k_, v_, bq=bq, bk=bk)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, q_, k_, v_):  # noqa: ANN001
+        def fold(a, batched):
+            if batched:
+                return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape).reshape(
+                (axis_size * a.shape[0],) + a.shape[1:]
+            )
+
+        out = call(fold(q_, in_batched[0]), fold(k_, in_batched[1]), fold(v_, in_batched[2]))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return call(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk"))
+def _flash_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
     v: jnp.ndarray,

@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.models.lora import (
+    apply_lora,
+    convert_peft_lora,
+    init_lora,
+    lora_param_count,
+)
+from diffusion_uncertainty_tpu.utils.interop import (
+    import_reference_run,
+    load_pth_array,
+    nchw_to_nhwc,
+    nhwc_to_nchw,
+    save_pth_array,
+)
+
+
+def _params():
+    return {
+        "attn": {"qkv": {"kernel": jnp.ones((8, 24)), "bias": jnp.zeros(24)}},
+        "mlp": {"fc": {"kernel": jnp.ones((8, 8))}},
+        "conv": {"kernel": jnp.ones((3, 3, 4, 4))},  # 4-D: not adapted
+    }
+
+
+def test_init_and_apply_lora_zero_delta():
+    p = _params()
+    lora = init_lora(p, rank=2, key=jax.random.key(0))
+    assert set(lora) == {"attn/qkv", "mlp/fc"}
+    merged = apply_lora(p, lora)
+    # b starts at zero -> merged == original
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(merged)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_apply_lora_nonzero_delta_and_match():
+    p = _params()
+    lora = init_lora(p, rank=2, match="attn")
+    assert set(lora) == {"attn/qkv"}
+    lora["attn/qkv"]["b"] = jnp.ones((2, 24))
+    merged = apply_lora(p, lora, scale=0.5)
+    delta = np.asarray(merged["attn"]["qkv"]["kernel"] - p["attn"]["qkv"]["kernel"])
+    expected = 0.5 * np.asarray(lora["attn/qkv"]["a"] @ jnp.ones((2, 24)))
+    np.testing.assert_allclose(delta, expected, rtol=1e-5, atol=1e-7)
+    assert lora_param_count(lora) == 8 * 2 + 2 * 24
+
+
+def test_convert_peft_lora():
+    rng = np.random.RandomState(0)
+    sd = {
+        "unet.attn1.to_q.lora_A.weight": rng.randn(4, 8).astype(np.float32),
+        "unet.attn1.to_q.lora_B.weight": rng.randn(16, 4).astype(np.float32),
+        "unet.other.weight": rng.randn(3, 3),
+    }
+    lora = convert_peft_lora(sd, lambda m: "attn/q" if "to_q" in m else None)
+    assert lora["attn/q"]["a"].shape == (8, 4)
+    assert lora["attn/q"]["b"].shape == (4, 16)
+    with pytest.raises(ValueError):
+        convert_peft_lora({"m.lora_A.weight": sd["unet.attn1.to_q.lora_A.weight"]}, lambda m: "x")
+
+
+def test_pth_roundtrip(tmp_path):
+    x = np.random.RandomState(0).rand(2, 8, 8, 3).astype(np.float32)
+    p = tmp_path / "x.pth"
+    save_pth_array(p, x)  # stored NCHW
+    back = load_pth_array(p)  # back to NHWC
+    np.testing.assert_allclose(back, x)
+    np.testing.assert_allclose(nchw_to_nhwc(nhwc_to_nchw(x)), x)
+
+
+def test_import_reference_run(tmp_path):
+    import torch
+
+    ref = tmp_path / "ref_run"
+    ref.mkdir()
+    (ref / "args.yaml").write_text("dataset: cifar10\nscheduler_type: uncertainty_centered\n")
+    u = np.random.RandomState(1).rand(4, 3, 3, 8, 8).astype(np.float32)  # [N,W,C,H,W] nchw-ish
+    torch.save(torch.from_numpy(u), ref / "uncertainty_0.pth")
+    imgs = (np.random.RandomState(2).rand(4, 3, 8, 8) * 255).astype(np.uint8)
+    torch.save(torch.from_numpy(imgs), ref / "gen_images_0.pth")
+
+    out = import_reference_run(ref, tmp_path / "converted")
+    from diffusion_uncertainty_tpu.utils.experiments import load_run_arrays
+
+    got_u = load_run_arrays(out, "uncertainty")
+    assert got_u.shape == (4, 3, 8, 8, 3)  # NCHW -> NHWC on the trailing dims
+    got_i = load_run_arrays(out, "gen_images")
+    assert got_i.shape == (4, 8, 8, 3)
+    assert (out / "args.yaml").exists()

@@ -65,3 +65,21 @@ def test_group_norm_scale_without_shift_raises():
     x = jnp.ones((1, 4, 4, 64))
     with pytest.raises(ValueError):
         group_norm_silu(x, jnp.ones(64), jnp.zeros(64), scale=jnp.ones((1, 64)))
+
+
+def test_group_norm_vmap_folds_into_batch():
+    """vmapping the fused GN must match the vmapped reference (the custom
+    batching rule folds the mapped axis into the batch grid)."""
+    x = jax.random.normal(jax.random.key(10), (3, 2, 8, 8, 128))
+    g = jnp.ones(128)
+    b = jnp.zeros(128)
+    out = jax.vmap(lambda xx: group_norm_silu(xx, g, b, use_pallas=True))(x)
+    ref = jax.vmap(lambda xx: group_norm_silu(xx, g, b, use_pallas=False))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_vmap_folds_into_batch():
+    q = jax.random.normal(jax.random.key(11), (2, 2, 128, 2, 64))
+    out = jax.vmap(lambda a: flash_attention(a, a, a, bq=64, bk=64))(q)
+    ref = jax.vmap(lambda a: dot_product_attention(a, a, a, use_pallas=False))(q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -90,3 +90,24 @@ def test_to_uint8():
     x = jnp.asarray([-1.5, -1.0, 0.0, 1.0, 2.0])
     out = np.asarray(to_uint8(x))
     np.testing.assert_array_equal(out, [0, 0, 127, 255, 255])
+
+
+def test_collect_intermediates(sched):
+    model_fn = lambda x, t, k: 0.1 * x
+    cfg = SamplerConfig(num_inference_steps=10, after_step=4, num_steps_uc=3)
+    from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=2))
+    res = sample_ddim(
+        model_fn, sched, jnp.ones(SHAPE), jax.random.key(0), cfg,
+        estimator=est, collect_intermediates=True,
+    )
+    assert res.intermediates.shape == (10,) + SHAPE
+    # last intermediate must equal the final sample
+    np.testing.assert_array_equal(np.asarray(res.intermediates[-1]), np.asarray(res.sample))
+
+    res_plain = sample_ddim(
+        model_fn, sched, jnp.ones(SHAPE), jax.random.key(0),
+        SamplerConfig(num_inference_steps=10), collect_intermediates=True,
+    )
+    assert res_plain.intermediates.shape == (10,) + SHAPE
