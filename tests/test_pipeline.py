@@ -153,3 +153,30 @@ def test_unknown_plot_kind(root):
 
     with _pytest.raises(SystemExit):
         plot_main(["--kind", "nope"])
+
+
+def test_sharded_feature_stats_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_uncertainty_tpu.metrics.fid import RunningStats
+    from diffusion_uncertainty_tpu.parallel.distributed import sharded_feature_stats
+    from diffusion_uncertainty_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8)
+    dim = 16
+
+    def extract(imgs):
+        # toy extractor: spatial means projected by a fixed matrix
+        flat = imgs.reshape(imgs.shape[0], -1)
+        w = jnp.arange(flat.shape[1] * dim, dtype=jnp.float32).reshape(flat.shape[1], dim)
+        return flat @ (w / w.size)
+
+    imgs = jax.random.uniform(jax.random.key(0), (16, 4, 4, 3))
+    s1, s2, n = sharded_feature_stats(extract, imgs, mesh, dim)
+    assert n == 16
+
+    rs = RunningStats(dim)
+    rs.update(np.asarray(extract(imgs)))
+    np.testing.assert_allclose(s1, rs.s1, rtol=1e-5)
+    np.testing.assert_allclose(s2, rs.s2, rtol=1e-5)
