@@ -181,6 +181,71 @@ def sample_ddim(
     return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1], intermediates)
 
 
+def sample_ddpm(
+    model_fn: ModelFn,
+    schedule: NoiseSchedule,
+    x_T: jnp.ndarray,
+    key: jax.Array,
+    cfg: SamplerConfig,
+    variance_type: str = "fixed_small",
+    estimator: Optional[EstimatorFn] = None,
+) -> SampleResult:
+    """Ancestral (stochastic) DDPM chain — the plain baseline scheduler family
+    (reference ``init_scheduler`` returns DDPMScheduler, ``init_model.py:39,136``).
+    Learned-variance models: pass the 6-channel model_fn and
+    ``variance_type='learned_range'``; the step consumes the variance channels.
+    """
+    from .ddpm import ddpm_step
+
+    dcfg = cfg.diffusion
+    ts_host = spaced_timesteps(
+        cfg.num_train_timesteps, cfg.num_inference_steps, dcfg.timestep_spacing, dcfg.steps_offset
+    )
+    prev_ts_host = ts_host - cfg.num_train_timesteps // cfg.num_inference_steps
+    learned = variance_type in ("learned", "learned_range")
+
+    def body(carry, tt):
+        x, k = carry
+        t, t_prev = tt
+        k, k_m, k_n = jax.random.split(k, 3)
+        out = model_fn(x, t, k_m)
+        pred_var = None
+        if learned:
+            out, pred_var = out[..., : x.shape[-1]], out[..., x.shape[-1] :]
+        noise = jax.random.normal(k_n, x.shape, jnp.float32)
+        step = ddpm_step(
+            schedule, x, out, t, t_prev, dcfg,
+            noise=noise, variance_type=variance_type, predicted_variance=pred_var,
+        )
+        u = None
+        if estimator is not None:
+            state = StepState(x, step.pred_original_sample, step.pred_epsilon, step.prev_sample, t, t_prev)
+            u = estimator(model_fn, schedule, state, k_n)
+        return (step.prev_sample, k), u
+
+    w0, w1 = (0, 0)
+    if estimator is not None and cfg.num_steps_uc > 0:
+        w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, cfg.num_inference_steps)
+    timesteps = jnp.asarray(ts_host)
+    prev_timesteps = jnp.asarray(prev_ts_host)
+    if estimator is None or cfg.num_steps_uc <= 0:
+        (x, _), _ = jax.lax.scan(
+            lambda c, tt: (body(c, tt)[0], None), (x_T, key), (timesteps, prev_timesteps)
+        )
+        return SampleResult(x, None, None, None)
+    x = x_T
+    uncertainty = None
+    for lo, hi, in_w in ((0, w0, False), (w0, w1, True), (w1, cfg.num_inference_steps, False)):
+        if hi <= lo:
+            continue
+        xs = (timesteps[lo:hi], prev_timesteps[lo:hi])
+        if in_w:
+            (x, key), uncertainty = jax.lax.scan(body, (x, key), xs)
+        else:
+            (x, key), _ = jax.lax.scan(lambda c, tt: (body(c, tt)[0], None), (x, key), xs)
+    return SampleResult(x, uncertainty, None, ts_host[w0:w1])
+
+
 def to_uint8(x: jnp.ndarray) -> jnp.ndarray:
     """[-1, 1] floats -> uint8 images (ref ``generate_samples.py:93-105``)."""
     x = jnp.clip(x.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)

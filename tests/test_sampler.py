@@ -111,3 +111,36 @@ def test_collect_intermediates(sched):
         SamplerConfig(num_inference_steps=10), collect_intermediates=True,
     )
     assert res_plain.intermediates.shape == (10,) + SHAPE
+
+
+def test_sample_ddpm_ancestral(sched):
+    from diffusion_uncertainty_tpu.diffusion.sampler import sample_ddpm
+
+    model_fn = lambda x, t, k: 0.1 * x
+    cfg = SamplerConfig(num_inference_steps=10)
+    a = sample_ddpm(model_fn, sched, jnp.ones(SHAPE), jax.random.key(0), cfg).sample
+    b = sample_ddpm(model_fn, sched, jnp.ones(SHAPE), jax.random.key(1), cfg).sample
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # ancestral = stochastic
+    assert np.isfinite(np.asarray(a)).all()
+
+
+def test_sample_ddpm_learned_variance(sched):
+    from diffusion_uncertainty_tpu.diffusion.sampler import sample_ddpm
+
+    def model6(x, t, k):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = SamplerConfig(num_inference_steps=8)
+    res = sample_ddpm(model6, sched, jnp.ones(SHAPE), jax.random.key(2), cfg, variance_type="learned_range")
+    assert res.sample.shape == SHAPE
+    assert np.isfinite(np.asarray(res.sample)).all()
+
+
+def test_sample_ddpm_with_estimator(sched):
+    from diffusion_uncertainty_tpu.diffusion.sampler import sample_ddpm
+    from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=2))
+    cfg = SamplerConfig(num_inference_steps=8, after_step=3, num_steps_uc=2)
+    res = sample_ddpm(lambda x, t, k: 0.1 * x, sched, jnp.ones(SHAPE), jax.random.key(3), cfg, estimator=est)
+    assert res.uncertainty.shape == (2,) + SHAPE
