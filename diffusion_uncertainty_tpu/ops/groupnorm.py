@@ -26,7 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["group_norm_silu"]
 
-_VMEM_SLAB_LIMIT = 6 * 1024 * 1024  # bytes of f32 activations per program
+# Per-program VMEM budget for the slab, in f32 bytes. The true footprint is
+# ~4.5x the slab (double-buffered bf16 in/out blocks + f32 compute copies);
+# 3MB keeps the worst case under the 16MB scoped-vmem limit (empirically a
+# 4MB slab — 64²x256ch — compiles to a 17.9MB scoped allocation and fails).
+_VMEM_SLAB_LIMIT = 3 * 1024 * 1024
 
 
 def _reference_impl(x, gamma, beta, num_groups, eps, scale, shift, apply_silu):
