@@ -1,0 +1,136 @@
+"""Generic DDPM/DDIM training losses and train step.
+
+Parity target: the reference's lucidrains-style trainer
+(``gaussian_diffusion.py:409-548``): epsilon / x0 / v objectives, min-SNR-γ
+loss weighting, offset noise, plus the learned-variance hybrid loss of
+``LearnedGaussianDiffusion`` (VLB term on the variance channels with the mean
+branch stopped, iddpm-style). Pure functions + optax; data-parallel via jit
+shardings like the rest of the framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.schedule import NoiseSchedule
+from ..metrics.nll import normal_kl
+
+__all__ = ["DDPMTrainConfig", "p_losses", "make_train_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMTrainConfig:
+    objective: str = "pred_noise"  # pred_noise | pred_x0 | pred_v
+    min_snr_gamma: Optional[float] = None  # e.g. 5.0 enables min-SNR weighting
+    offset_noise_strength: float = 0.0
+    learned_variance: bool = False  # hybrid VLB loss on the extra channels
+    vlb_weight: float = 1e-3
+    lr: float = 1e-4
+
+
+def _loss_weight(schedule: NoiseSchedule, cfg: DDPMTrainConfig) -> jnp.ndarray:
+    """Per-timestep MSE weight (reference ``gaussian_diffusion.py`` loss_weight):
+    snr = ᾱ/(1−ᾱ); pred_noise: w = min(snr,γ)/snr; pred_x0: w = min(snr,γ);
+    pred_v: w = min(snr,γ)/(snr+1). Without min-SNR, the standard constants."""
+    ab = schedule.alphas_cumprod
+    snr = ab / (1.0 - ab)
+    capped = jnp.minimum(snr, cfg.min_snr_gamma) if cfg.min_snr_gamma else snr
+    if cfg.objective == "pred_noise":
+        return capped / snr
+    if cfg.objective == "pred_x0":
+        return capped
+    if cfg.objective == "pred_v":
+        return capped / (snr + 1.0)
+    raise ValueError(cfg.objective)
+
+
+def p_losses(
+    model_apply: Callable,  # (params, x_t, t, y) -> out [B,H,W,C or 2C]
+    params: Any,
+    schedule: NoiseSchedule,
+    x_start: jnp.ndarray,
+    t: jnp.ndarray,  # [B] int32
+    key: jax.Array,
+    cfg: DDPMTrainConfig,
+    y: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    k_noise, k_off = jax.random.split(key)
+    noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
+    if cfg.offset_noise_strength > 0:
+        off = jax.random.normal(k_off, x_start.shape[:1] + (1, 1, x_start.shape[-1]), jnp.float32)
+        noise = noise + cfg.offset_noise_strength * off
+
+    ab = schedule.alpha_bar(t).reshape((-1,) + (1,) * (x_start.ndim - 1))
+    x_t = jnp.sqrt(ab) * x_start + jnp.sqrt(1.0 - ab) * noise
+
+    out = model_apply(params, x_t, t, y).astype(jnp.float32)
+    c = x_start.shape[-1]
+    var_raw = None
+    if cfg.learned_variance:
+        out, var_raw = out[..., :c], out[..., c:]
+
+    if cfg.objective == "pred_noise":
+        target = noise
+    elif cfg.objective == "pred_x0":
+        target = x_start
+    elif cfg.objective == "pred_v":
+        target = jnp.sqrt(ab) * noise - jnp.sqrt(1.0 - ab) * x_start
+    else:
+        raise ValueError(cfg.objective)
+
+    mse = jnp.mean((out - target) ** 2, axis=tuple(range(1, x_start.ndim)))
+    weight = _loss_weight(schedule, cfg)[jnp.clip(t, 0, schedule.num_train_timesteps - 1)]
+    loss = jnp.mean(mse * weight)
+
+    if cfg.learned_variance:
+        # iddpm hybrid loss: KL(q posterior ‖ p) with the mean branch frozen
+        eps = jax.lax.stop_gradient(out) if cfg.objective == "pred_noise" else None
+        if eps is None:
+            raise ValueError("learned_variance hybrid loss requires pred_noise objective")
+        T = schedule.num_train_timesteps
+        ab_full = schedule.alphas_cumprod
+        ab_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), ab_full[:-1]])
+        betas = schedule.betas
+        post_var = betas * (1.0 - ab_prev) / (1.0 - ab_full)
+        post_logvar = jnp.log(jnp.clip(post_var, min=1e-20))
+        min_log = post_logvar[t].reshape(ab.shape)
+        max_log = jnp.log(jnp.clip(betas, min=1e-20))[t].reshape(ab.shape)
+        frac = (var_raw + 1.0) / 2.0
+        model_logvar = frac * max_log + (1.0 - frac) * min_log
+        # true and model means coincide when the mean branch is stopped; the
+        # KL reduces to the variance-matching term
+        kl = normal_kl(jnp.zeros_like(model_logvar), min_log, jnp.zeros_like(model_logvar), model_logvar)
+        loss = loss + cfg.vlb_weight * jnp.mean(kl)
+    return loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(model_apply: Callable, schedule: NoiseSchedule, cfg: DDPMTrainConfig):
+    tx = optax.adam(cfg.lr)
+
+    def init_fn(params) -> TrainState:
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def step_fn(state: TrainState, x_start, y, key):
+        k_t, k_loss = jax.random.split(key)
+        t = jax.random.randint(k_t, (x_start.shape[0],), 0, schedule.num_train_timesteps)
+
+        def loss_fn(p):
+            return p_losses(model_apply, p, schedule, x_start, t, k_loss, cfg, y)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        return TrainState(optax.apply_updates(state.params, updates), opt_state, state.step + 1), loss
+
+    return init_fn, step_fn

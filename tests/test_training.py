@@ -80,3 +80,54 @@ def test_score_model_gradient_guidance_in_sampler():
     res = sample_ddim(model_fn, sched, jnp.ones((2, 8, 8, 3)), jax.random.key(1), scfg, guidance=g)
     assert bool(jnp.all(jnp.isfinite(res.sample)))
     assert res.uncertainty.shape == (3, 2, 8, 8, 3)
+
+
+def test_p_losses_objectives_and_minsnr():
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import DDPMTrainConfig, p_losses
+
+    sched = make_schedule("linear", 100)
+    model = lambda p, x, t, y: p["w"] * x
+    params = {"w": jnp.asarray(0.5)}
+    x0 = jax.random.uniform(jax.random.key(0), (4, 8, 8, 3), minval=-1, maxval=1)
+    t = jnp.asarray([10, 40, 70, 90])
+    for obj in ("pred_noise", "pred_x0", "pred_v"):
+        for gamma in (None, 5.0):
+            cfg = DDPMTrainConfig(objective=obj, min_snr_gamma=gamma)
+            loss = p_losses(model, params, sched, x0, t, jax.random.key(1), cfg)
+            assert np.isfinite(float(loss)) and float(loss) > 0, (obj, gamma)
+
+
+def test_ddpm_train_step_learns_oracle():
+    """A linear model eps_hat = w*x_t on pure-noise targets should move w."""
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import (
+        DDPMTrainConfig,
+        make_train_step,
+    )
+
+    sched = make_schedule("linear", 100)
+    model = lambda p, x, t, y: p["w"] * x
+    cfg = DDPMTrainConfig(lr=0.05)
+    init_fn, step_fn = make_train_step(model, sched, cfg)
+    state = init_fn({"w": jnp.asarray(0.0)})
+    x0 = jax.random.uniform(jax.random.key(2), (8, 8, 8, 3), minval=-1, maxval=1)
+    losses = []
+    for i in range(20):
+        state, loss = step_fn(state, x0, None, jax.random.key(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert float(state.params["w"]) != 0.0
+
+
+def test_hybrid_learned_variance_loss():
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import DDPMTrainConfig, p_losses
+
+    sched = make_schedule("linear", 100)
+
+    def model6(p, x, t, y):
+        return jnp.concatenate([p["w"] * x, jnp.zeros_like(x)], axis=-1)
+
+    cfg = DDPMTrainConfig(learned_variance=True)
+    loss = p_losses(model6, {"w": jnp.asarray(0.1)}, sched,
+                    jax.random.uniform(jax.random.key(3), (2, 8, 8, 3)),
+                    jnp.asarray([5, 50]), jax.random.key(4), cfg)
+    assert np.isfinite(float(loss))
