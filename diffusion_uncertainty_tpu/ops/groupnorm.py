@@ -105,14 +105,7 @@ def group_norm_silu(
         raise ValueError("scale and shift must be passed together")
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    slab = h * w * c * 4
-    if (
-        not use_pallas
-        or c % num_groups != 0
-        or c % 128 != 0
-        or (h * w) % 8 != 0
-        or slab > _VMEM_SLAB_LIMIT
-    ):
+    if not use_pallas or c % num_groups != 0 or c % 128 != 0 or (h * w) % 8 != 0:
         sc = scale.reshape(b, 1, 1, c) if has_ss else None
         sh = shift.reshape(b, 1, 1, c) if has_ss else None
         return _reference_impl(x, gamma, beta, num_groups, eps, sc, sh, apply_silu)
@@ -129,6 +122,10 @@ def group_norm_silu(
 
 def _fused_gn_impl(xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu, has_ss):
     b, hw, c = xg.shape
+    if hw * c * 4 > _VMEM_SLAB_LIMIT:
+        return _fused_gn_tiled(
+            xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu, has_ss
+        )
     return pl.pallas_call(
         functools.partial(
             _kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu, has_ss=has_ss
@@ -179,3 +176,81 @@ def _fused_gn(xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return fused(xg, gamma_g, beta_g, scale_g, shift_g)
+
+
+def _tiled_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows):
+    """Two-pass tiled GN: phase 0 accumulates per-channel sums over HW tiles
+    into persistent VMEM scratch; phase 1 converts them to group statistics
+    (one-hot matmul) and normalizes each tile. Grid (b, 2, n_tiles) iterates
+    sequentially on the core, so the scratch carries across tiles/phases."""
+    phase = pl.program_id(1)
+    it = pl.program_id(2)
+    x = x_ref[0].astype(jnp.float32)  # [tile, C]
+    tile, c = x.shape
+    gs = c // num_groups
+
+    @pl.when(jnp.logical_and(phase == 0, it == 0))
+    def _():
+        acc1[...] = jnp.zeros_like(acc1)
+        acc2[...] = jnp.zeros_like(acc2)
+
+    @pl.when(phase == 0)
+    def _():
+        acc1[0, :] += jnp.sum(x, axis=0)
+        acc2[0, :] += jnp.sum(x * x, axis=0)
+        o_ref[0] = x.astype(o_ref.dtype)  # placeholder; overwritten in phase 1
+
+    @pl.when(phase == 1)
+    def _():
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+        m = (ch // gs == gr).astype(jnp.float32)
+        n = float(n_rows * gs)
+        s1 = jax.lax.dot_general(acc1[...], m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        s2 = jax.lax.dot_general(acc2[...], m, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        mean_g = s1 / n
+        var_g = s2 / n - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = jax.lax.dot_general(mean_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        inv_c = jax.lax.dot_general(inv_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        y = (x - mean_c) * inv_c
+        y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+        if has_ss:
+            y = y * (1.0 + scale_ref[0, 0].astype(jnp.float32)) + shift_ref[0, 0].astype(jnp.float32)
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _fused_gn_tiled(xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu, has_ss):
+    """Tiled variant for slabs too large for a single VMEM block (the 128²/64²
+    UNet levels): streams HW tiles twice (stats pass + normalize pass) with
+    per-channel f32 accumulators in persistent scratch."""
+    b, hw, c = xg.shape
+    # pick the largest 8-multiple tile that keeps ~4 buffered copies < limit
+    tile = max(8, min(hw, (_VMEM_SLAB_LIMIT // 2) // (c * 4) // 8 * 8))
+    while hw % tile != 0:
+        tile -= 8
+    nt = hw // tile
+
+    return pl.pallas_call(
+        functools.partial(
+            _tiled_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu,
+            has_ss=has_ss, n_rows=hw,
+        ),
+        grid=(b, 2, nt),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, p, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, p, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, p, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, xg.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        interpret=jax.devices()[0].platform != "tpu",
+    )(xg, gamma_g, beta_g, scale_g, shift_g)
