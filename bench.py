@@ -43,7 +43,7 @@ from diffusion_uncertainty_tpu.diffusion import SamplerConfig, make_schedule, sa
 from diffusion_uncertainty_tpu.models import ADMUNet, ADMUNetConfig
 from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
 
-BATCH = 32  # forward throughput rises ~27% from batch 8 -> 32 (measured)
+BATCH = 16
 STEPS = 50
 AFTER_STEP = 40
 NUM_STEPS_UC = 10
@@ -143,8 +143,9 @@ def main() -> None:
     full = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
     half = dataclasses.replace(ADMUNetConfig.imagenet128(), model_channels=128, dtype=jnp.bfloat16)
     configs = [
-        (full, "imagenet128", 32),
-        (full, "imagenet128", 16),  # HBM-OOM fallback
+        # batch 32 compiles but OOMs HBM at runtime (window ensemble = batch
+        # 160 at 128²); 16 is the sweet spot (65.6 vs 70.7 TFLOP/s fwd)
+        (full, "imagenet128", 16),
         (full, "imagenet128", 8),
         # last resort: half width — only if the relay cannot compile the 421M program
         (half, "imagenet128_halfwidth_fallback", 8),
@@ -158,6 +159,13 @@ def main() -> None:
             last_err = e
             log(f"[{tag}] FAILED: {type(e).__name__}: {e}")
             traceback.print_exc(file=sys.stderr)
+            # drop compiled executables + live buffers so the next attempt
+            # starts with a clean HBM (a failed attempt otherwise leaks its
+            # 1.7GB param tree into the fallback's budget)
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
     print(
         json.dumps(
             {

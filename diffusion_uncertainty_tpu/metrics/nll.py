@@ -114,7 +114,8 @@ def calc_bpd_loop(
         elif variance_type == "learned":
             model_logvar = var_raw
         else:
-            model_logvar = jnp.full_like(var_raw, min_log)
+            # fixed posterior variance (3-channel models have no var channels)
+            model_logvar = jnp.broadcast_to(min_log, x_t.shape)
 
         true_mean = x0_coeff[t] * x0f + xt_coeff[t] * x_t
         true_logvar = jnp.broadcast_to(posterior_logvar_clipped[t], model_logvar.shape)

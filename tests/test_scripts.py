@@ -1,0 +1,115 @@
+"""CLI smoke tests on the tiny fixture + synthetic data (CPU, fast shapes)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def root(tmp_path, monkeypatch):
+    monkeypatch.setenv("DIFFUSION_UNCERTAINTY_ROOT", str(tmp_path))
+    # tiny starting points for the "tiny" dataset
+    from diffusion_uncertainty_tpu.utils import paths
+
+    d = paths.ensure(paths.starting_points() / "tiny")
+    rng = np.random.RandomState(49394)
+    np.savez(d / "X_T.npz", data=rng.randn(12, 16, 16, 3).astype(np.float32))
+    np.savez(d / "y.npz", data=rng.randint(0, 10, 12).astype(np.int32))
+    return tmp_path
+
+
+COMMON = ["--dataset", "tiny", "--random-init", "true", "--dtype", "float32"]
+
+
+def test_generate_starting_points(root):
+    from diffusion_uncertainty_tpu.scripts.generate_starting_points import main
+
+    main(["--num-samples", "4", "--extra-samples", "2", "--datasets", "cifar10"])
+    from diffusion_uncertainty_tpu.utils import paths
+
+    with np.load(paths.starting_points() / "cifar10" / "X_T.npz") as f:
+        assert f["data"].shape == (6, 32, 32, 3)
+
+
+def test_compute_ause_synthetic(root):
+    from diffusion_uncertainty_tpu.scripts.compute_ause import main
+
+    ause, aurg = main(COMMON + [
+        "--scheduler-type", "uncertainty_centered", "--num-samples", "4",
+        "--batch-size", "2", "--num-steps-uc", "4", "--M", "2",
+    ])
+    assert np.isfinite(ause) and np.isfinite(aurg)
+    from diffusion_uncertainty_tpu.utils import paths
+
+    assert (paths.ause() / "tiny" / "results_uncertainty_centered.yaml").exists()
+
+
+def test_fid_stats_and_drop(root):
+    from diffusion_uncertainty_tpu.scripts.compute_fid import main as fid_main
+    from diffusion_uncertainty_tpu.scripts.generate_dataset_score_uncertainty import main as gen
+
+    run_dir = gen(COMMON + [
+        "--scheduler-type", "uncertainty_centered", "--num-samples", "6",
+        "--batch-size", "3", "--generation-steps", "4", "--M", "2",
+        "--start-step-uc", "1", "--num-steps-uc", "2",
+    ])
+    fid_main(["--mode", "stats", "--dataset", "tiny", "--num-samples", "16", "--batch-size", "8"])
+    res = fid_main(["--mode", "drop", "--dataset", "tiny", "--run-dir", str(run_dir),
+                    "--drop-fraction", "0.34", "--drop-mode", "most"])
+    assert np.isfinite(res["fid_drop_most"]) and np.isfinite(res["fid_drop_random"])
+
+
+def test_compute_nll_synthetic(root):
+    from diffusion_uncertainty_tpu.scripts.compute_nll import main
+
+    # tiny model emits 3 channels; use fixed_small (no variance channels)
+    bpd = main(COMMON + ["--num-samples", "2", "--batch-size", "2", "--variance-type", "fixed_small"])
+    assert np.isfinite(bpd) and bpd > 0
+
+
+def test_precision_recall_scripts(root):
+    from diffusion_uncertainty_tpu.scripts.compute_precision_recall import main as pr_main
+    from diffusion_uncertainty_tpu.scripts.generate_dataset_score_uncertainty import main as gen
+
+    run_dir = gen(COMMON + [
+        "--scheduler-type", "uncertainty_centered", "--num-samples", "6",
+        "--batch-size", "3", "--generation-steps", "4", "--M", "2",
+        "--start-step-uc", "1", "--num-steps-uc", "2",
+    ])
+    pr_main(["--mode", "real", "--dataset", "tiny", "--num-samples", "16", "--batch-size", "8"])
+    res = pr_main(["--mode", "generated", "--dataset", "tiny", "--run-dir", str(run_dir),
+                   "--drop-fraction", "0.34", "--k", "2"])
+    for k in ("precision_drop_most", "recall_drop_most"):
+        assert 0.0 <= res[k] <= 1.0
+
+
+def test_generate_guided_ab(root):
+    from diffusion_uncertainty_tpu.scripts.generate_guided import main
+
+    rec = main(COMMON + [
+        "--guidance", "percentile", "--num-samples", "4", "--batch-size", "2",
+        "--generation-steps", "4", "--M", "2", "--start-step-uc", "1",
+        "--num-steps-uc", "2", "--threshold", "0.8",
+    ])
+    assert np.isfinite(rec["fid_guided_vs_plain"])
+
+
+def test_uncertainty_benchmark_grid(root):
+    from diffusion_uncertainty_tpu.scripts.uncertainty_benchmark import main
+
+    rows = main(COMMON + [
+        "--methods", "uncertainty_centered,flip", "--num-samples", "4",
+        "--batch-size", "2", "--generation-steps", "4", "--M", "2",
+        "--num-steps-uc", "4",
+    ])
+    assert len(rows) == 2 and all(r["images_per_sec"] > 0 for r in rows)
+
+
+def test_measure_times(root):
+    from diffusion_uncertainty_tpu.scripts.measure_times import main
+
+    rec = main(COMMON + [
+        "--scheduler-type", "uncertainty_centered", "--batch-size", "2",
+        "--generation-steps", "4", "--M", "2", "--start-step-uc", "1",
+        "--num-steps-uc", "2", "--repeats", "1",
+    ])
+    assert rec["overhead_x"] > 0.0
