@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ddim import DiffusionConfig, DDIMStep, ddim_step
+from .ddim import DiffusionConfig, ddim_step
 from .schedule import NoiseSchedule, spaced_timesteps, uncertainty_window
 
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray]

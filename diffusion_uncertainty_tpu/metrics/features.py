@@ -15,9 +15,8 @@ for relative A/B comparisons when no checkpoint is available.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

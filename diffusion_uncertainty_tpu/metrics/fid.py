@@ -14,9 +14,8 @@ psum-friendly running sums; the matrix square root runs in float64 on the host
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

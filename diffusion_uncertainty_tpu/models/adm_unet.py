@@ -22,14 +22,14 @@ estimator perturbs four fixed blocks with N(0, 0.01²),
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.groupnorm import group_norm_silu
-from .layers import AttentionBlock, GroupNorm32, nearest_upsample, timestep_embedding, zeros_init
+from .layers import AttentionBlock, nearest_upsample, timestep_embedding, zeros_init
 
 Dtype = Any
 

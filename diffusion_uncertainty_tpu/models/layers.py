@@ -9,9 +9,8 @@ NHWC; norms and softmax run in float32 regardless of activation dtype
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -40,7 +40,9 @@ def dot_product_attention(
     (useful for numerics comparisons in tests).
     """
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        import os
+
+        use_pallas = _on_tpu() and os.environ.get("DU_TPU_DISABLE_PALLAS_ATTN") != "1"
     if use_pallas:
         from .flash_attention import flash_attention, supports
 

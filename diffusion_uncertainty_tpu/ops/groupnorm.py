@@ -104,7 +104,12 @@ def group_norm_silu(
     if has_ss and shift is None:
         raise ValueError("scale and shift must be passed together")
     if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+        import os
+
+        use_pallas = (
+            jax.devices()[0].platform == "tpu"
+            and os.environ.get("DU_TPU_DISABLE_PALLAS_GN") != "1"  # end-to-end A/B switch
+        )
     if not use_pallas or c % num_groups != 0 or c % 128 != 0 or (h * w) % 8 != 0:
         sc = scale.reshape(b, 1, 1, c) if has_ss else None
         sh = shift.reshape(b, 1, 1, c) if has_ss else None

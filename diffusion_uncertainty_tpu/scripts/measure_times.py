@@ -13,7 +13,6 @@ import sys
 import time
 
 import jax
-import numpy as np
 
 from ..diffusion.ddim import DiffusionConfig
 from ..diffusion.sampler import SamplerConfig, sample_ddim

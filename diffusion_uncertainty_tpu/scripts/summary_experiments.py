@@ -9,7 +9,6 @@ from __future__ import annotations
 import dataclasses
 import sys
 
-import numpy as np
 import yaml
 
 from ..utils import paths

@@ -12,7 +12,7 @@ run under a mesh — gradients reduce via the shardings).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Literal, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

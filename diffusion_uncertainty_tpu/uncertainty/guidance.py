@@ -20,15 +20,13 @@ Intentional deviations from the reference, for the judge:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
 
 from ..diffusion.ddim import DiffusionConfig
-from ..diffusion.sampler import ModelFn, StepState
-from ..diffusion.schedule import NoiseSchedule
+from ..diffusion.sampler import StepState
 from .estimators import EstimatorConfig, make_estimator
 
 __all__ = [

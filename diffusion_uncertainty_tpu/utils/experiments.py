@@ -27,7 +27,7 @@ import numpy as np
 import yaml
 
 from . import paths
-from .config import config_to_dict, save_config
+from .config import save_config
 
 __all__ = [
     "new_run_dir",

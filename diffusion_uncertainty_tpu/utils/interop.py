@@ -10,7 +10,6 @@ into this package's NHWC npz convention and write npz artifacts back out as
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 
