@@ -74,9 +74,17 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH) -> dict:
     @jax.jit
     def materialize(key):
         keys = jax.random.split(key, len(leaves))
+        # weights in bf16: halves weight HBM traffic and skips per-iteration
+        # f32->bf16 casts inside the scan bodies; norm math still runs f32
+        # (GroupNorm32 upcasts activations regardless of param dtype)
         return jax.tree.unflatten(
             treedef,
-            [0.02 * jax.random.normal(k, s.shape, s.dtype) for k, s in zip(keys, leaves)],
+            [
+                (0.02 * jax.random.normal(k, s.shape, s.dtype)).astype(
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+                )
+                for k, s in zip(keys, leaves)
+            ],
         )
 
     params = materialize(jax.random.key(0))

@@ -16,5 +16,6 @@ from .sampler import (  # noqa: F401
     SampleResult,
     StepState,
     sample_ddim,
+    sample_ddpm,
     to_uint8,
 )

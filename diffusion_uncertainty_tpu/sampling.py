@@ -71,6 +71,7 @@ def generate_uncertainty_dataset(
     collect_eps: bool = True,
     decode_fn=None,  # latent models: latents -> images before uint8
     sampler: str = "ddim",  # ddim | dpm (DPM-Solver++ order 2)
+    fid_evaluator=None,  # metrics.fid.FIDEvaluator updated per batch (ref generate_samples.py:203-218)
 ) -> GenerationResult:
     n = X_T.shape[0]
     num_batches = (n + batch_size - 1) // batch_size
@@ -144,6 +145,8 @@ def generate_uncertainty_dataset(
                 save_shard(run_dir, "score", shard_id, eps)
             if window_ts is not None and b == 0:
                 np.savez(Path(run_dir) / "timestep.npz", data=np.asarray(window_ts))
+        if fid_evaluator is not None:
+            fid_evaluator.update(imgs)
         if keep_in_memory:
             images.append(imgs)
             used_x.append(xb[: hi - lo])

@@ -180,3 +180,24 @@ def test_sharded_feature_stats_matches_single_device():
     rs.update(np.asarray(extract(imgs)))
     np.testing.assert_allclose(s1, rs.s1, rtol=1e-5)
     np.testing.assert_allclose(s2, rs.s2, rtol=1e-5)
+
+
+def test_fid_evaluator_hook_in_generation(root, bundle):
+    from diffusion_uncertainty_tpu.metrics.features import RandomConvFeatures
+    from diffusion_uncertainty_tpu.metrics.fid import FIDEvaluator, compute_statistics, extract_features
+
+    ext = RandomConvFeatures(dim=32)
+    real = (np.random.RandomState(0).rand(32, 16, 16, 3) * 255).astype(np.uint8)
+    real_stats = compute_statistics(extract_features(ext, real))
+    ev = FIDEvaluator(ext, real_stats, batch_size=8)
+
+    rng = np.random.RandomState(1)
+    x_t = rng.randn(4, 16, 16, 3).astype(np.float32)
+    y = rng.randint(0, 10, 4)
+    cfg = SamplerConfig(num_inference_steps=4)
+    generate_uncertainty_dataset(
+        bundle.apply_fn, bundle.schedule, cfg, x_t, y, 2,
+        params=bundle.params, fid_evaluator=ev, keep_in_memory=False,
+    )
+    assert ev.stats.n == 4
+    assert np.isfinite(ev.compute())
