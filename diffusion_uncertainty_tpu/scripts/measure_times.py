@@ -38,6 +38,7 @@ class Config:
     num_zigzag: int = 3
     seed: int = 0
     repeats: int = 3
+    baseline: str = "ddim"  # ddim | kdpm2 (the reference times both plain baselines)
     random_init: bool = False
     dtype: str = "bfloat16"
 
@@ -84,7 +85,16 @@ def main(argv=None):
         return lambda x, t, k: apply_fn(p, x, t, y, k)
 
     f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est))
-    f_plain = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, plain_cfg))
+    if cfg.baseline == "kdpm2":
+        from ..diffusion.kdpm2 import KDPM2Config, sample_kdpm2
+
+        k_cfg = KDPM2Config(
+            num_inference_steps=cfg.generation_steps,
+            num_train_timesteps=bundle.schedule.num_train_timesteps,
+        )
+        f_plain = jax.jit(lambda p, x, k: sample_kdpm2(mf(p), bundle.schedule, x, k, k_cfg))
+    else:
+        f_plain = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, plain_cfg))
 
     key = jax.random.key(cfg.seed + 1)
     t_uc = _time(f_uc, bundle.params, xT, key, repeats=cfg.repeats)
@@ -93,6 +103,7 @@ def main(argv=None):
     record = {
         "dataset": cfg.dataset,
         "scheduler_type": cfg.scheduler_type,
+        "baseline": cfg.baseline,
         "batch_size": cfg.batch_size,
         "generation_steps": cfg.generation_steps,
         "M": cfg.M,
