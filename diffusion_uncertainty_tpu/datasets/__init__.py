@@ -6,4 +6,11 @@ files), ``dataset/cifar10.py`` (class-name folders), ``lsun_churches256.py``
 [0,1], 'label': int}`` like the reference's __getitem__.
 """
 
-from .folder import CIFAR10Dataset, ImageFolderDataset, ImagenetDataset, LSUNChurches256, SyntheticDataset  # noqa: F401
+from .folder import (  # noqa: F401
+    CIFAR10Dataset,
+    ImageFolderDataset,
+    ImagenetDataset,
+    LSUNChurches256,
+    NpzImagesDataset,
+    SyntheticDataset,
+)

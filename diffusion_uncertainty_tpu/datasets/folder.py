@@ -143,3 +143,32 @@ def iterate_batches(
             "label": np.asarray([r["label"] for r in records], np.int32),
             "count": count,
         }
+
+
+class NpzImagesDataset:
+    """Array-file dataset (the reference's ImageNet64-NPZ format:
+    ``scripts/compute_dataset_fid.py:62-87`` — a .npz/.npy of uint8 images,
+    NCHW or NHWC, optional labels array)."""
+
+    def __init__(self, path: Path, image_key: str = "data", label_key: Optional[str] = "labels"):
+        path = Path(path)
+        if path.suffix == ".npy":
+            self.images = np.load(path, mmap_mode="r")
+            self.labels = None
+        else:
+            f = np.load(path)
+            key = image_key if image_key in f else list(f.keys())[0]
+            self.images = f[key]
+            self.labels = f[label_key] if (label_key and label_key in f) else None
+        if self.images.ndim == 4 and self.images.shape[1] in (1, 3) and self.images.shape[-1] not in (1, 3):
+            self.images = np.transpose(self.images, (0, 2, 3, 1))  # NCHW -> NHWC
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> dict:
+        img = np.asarray(self.images[i], np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        label = int(self.labels[i]) if self.labels is not None else 0
+        return {"image": img, "label": label}

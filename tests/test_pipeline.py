@@ -201,3 +201,18 @@ def test_fid_evaluator_hook_in_generation(root, bundle):
     )
     assert ev.stats.n == 4
     assert np.isfinite(ev.compute())
+
+
+def test_npz_images_dataset(tmp_path):
+    from diffusion_uncertainty_tpu.datasets import NpzImagesDataset
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (6, 3, 8, 8), np.uint8)  # NCHW on purpose
+    labels = rng.randint(0, 10, 6)
+    np.savez(tmp_path / "d.npz", data=imgs, labels=labels)
+    ds = NpzImagesDataset(tmp_path / "d.npz")
+    assert len(ds) == 6
+    rec = ds[0]
+    assert rec["image"].shape == (8, 8, 3)
+    assert 0.0 <= rec["image"].max() <= 1.0
+    assert rec["label"] == int(labels[0])
