@@ -60,7 +60,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH) -> dict:
+def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chunk: int = 0) -> dict:
     BATCH = batch  # noqa: N806 — local shadow so the body reads naturally
     model = ADMUNet(cfg_m)
     size = cfg_m.image_size
@@ -108,7 +108,10 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH) -> dict:
     schedule = make_schedule("linear", 1000)
     scfg = SamplerConfig(num_inference_steps=STEPS, after_step=AFTER_STEP, num_steps_uc=NUM_STEPS_UC)
     est = make_estimator(
-        EstimatorConfig(name="uncertainty_zigzag_centered", M=M, num_zigzag=NUM_ZIGZAG)
+        EstimatorConfig(
+            name="uncertainty_zigzag_centered", M=M, num_zigzag=NUM_ZIGZAG,
+            ensemble_chunk=ensemble_chunk,
+        )
     )
 
     sample_jit = jax.jit(
@@ -151,17 +154,19 @@ def main() -> None:
     full = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
     half = dataclasses.replace(ADMUNetConfig.imagenet128(), model_channels=128, dtype=jnp.bfloat16)
     configs = [
-        # batch 32 compiles but OOMs HBM at runtime (window ensemble = batch
-        # 160 at 128²); 16 is the sweet spot (65.6 vs 70.7 TFLOP/s fwd)
-        (full, "imagenet128", 16),
-        (full, "imagenet128", 8),
+        # batch 32 with a fully-vmapped ensemble OOMs HBM (window batch 160 at
+        # 128²); sequential zigzag members (ensemble_chunk=1) cap the live
+        # batch at 32 and ride the better batch-32 MXU efficiency
+        (full, "imagenet128", 32, 1),
+        (full, "imagenet128", 16, 0),
+        (full, "imagenet128", 8, 0),
         # last resort: half width — only if the relay cannot compile the 421M program
-        (half, "imagenet128_halfwidth_fallback", 8),
+        (half, "imagenet128_halfwidth_fallback", 8, 0),
     ]
     last_err = None
-    for cfg_m, tag, batch in configs:
+    for cfg_m, tag, batch, chunk in configs:
         try:
-            print(json.dumps(run_config(cfg_m, tag, batch)))
+            print(json.dumps(run_config(cfg_m, tag, batch, chunk)))
             return
         except Exception as e:  # noqa: BLE001 — must emit a line regardless
             last_err = e

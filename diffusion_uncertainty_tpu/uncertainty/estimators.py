@@ -139,7 +139,17 @@ def zigzag_centered(model_fn, schedule, state, key, cfg: EstimatorConfig):
         return last_score
 
     keys = jax.random.split(key, cfg.M)
-    scores = jax.vmap(one_member)(keys)
+    chunk = cfg.ensemble_chunk
+    if chunk <= 0 or chunk >= cfg.M:
+        scores = jax.vmap(one_member)(keys)
+    elif chunk == 1:
+        # sequential members: bounds activation memory to one batch per forward
+        scores = jax.lax.map(one_member, keys)
+    else:
+        if cfg.M % chunk != 0:
+            raise ValueError(f"M={cfg.M} not divisible by ensemble_chunk={chunk}")
+        kc = keys.reshape((cfg.M // chunk, chunk) + keys.shape[1:])
+        scores = jax.lax.map(jax.vmap(one_member), kc).reshape((cfg.M,) + state.pred_epsilon.shape)
     d = scores.astype(jnp.float32) - state.pred_epsilon[None].astype(jnp.float32)
     return jnp.mean(d * d, axis=0)
 

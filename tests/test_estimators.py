@@ -220,3 +220,16 @@ def test_flip_threshold_guidance(sched):
     cfg = SamplerConfig(num_inference_steps=8, after_step=2, num_steps_uc=3)
     res = sample_ddim(model_fn, sched, jnp.ones(SHAPE), jax.random.key(0), cfg, guidance=g)
     assert bool(jnp.all(jnp.isfinite(res.sample)))
+
+
+def test_zigzag_chunked_matches_vmap(sched):
+    state = make_state(jax.random.key(30))
+    model_fn = lambda x, t, k: 0.2 * x
+    key = jax.random.key(31)
+    base = make_estimator(EstimatorConfig(name="uncertainty_zigzag_centered", M=4, num_zigzag=2))(
+        model_fn, sched, state, key
+    )
+    for chunk in (1, 2):
+        cfg = EstimatorConfig(name="uncertainty_zigzag_centered", M=4, num_zigzag=2, ensemble_chunk=chunk)
+        u = make_estimator(cfg)(model_fn, sched, state, key)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(base), rtol=1e-5, atol=1e-7)
