@@ -113,3 +113,31 @@ def test_measure_times(root):
         "--num-steps-uc", "2", "--repeats", "1",
     ])
     assert rec["overhead_x"] > 0.0
+
+
+def test_train_score_uncertainty_cli(root):
+    from diffusion_uncertainty_tpu.scripts.generate_dataset_score_uncertainty import main as gen
+    from diffusion_uncertainty_tpu.scripts.train_score_uncertainty import main as train
+
+    run_dir = gen(COMMON + [
+        "--scheduler-type", "uncertainty_centered", "--num-samples", "6",
+        "--batch-size", "3", "--generation-steps", "4", "--M", "2",
+        "--start-step-uc", "1", "--num-steps-uc", "2",
+    ])
+    ckpt = train(["--run-dir", str(run_dir), "--epochs", "2", "--batch-size", "4"])
+    assert ckpt.exists()
+
+    # the checkpoint restores and drives the score-model-gradient guidance
+    from diffusion_uncertainty_tpu.utils.checkpoint import load_params
+
+    params = load_params(ckpt)
+    assert "params" in params
+
+
+def test_finetune_noise_cli(root):
+    from diffusion_uncertainty_tpu.scripts.finetune_noise import main
+
+    out = main(COMMON + [
+        "--epochs", "1", "--steps-per-epoch", "2", "--batch-size", "2", "--M", "2",
+    ])
+    assert any(out.glob("ckpt_epoch0/**/*")) or (out / "ckpt_epoch0").exists()
