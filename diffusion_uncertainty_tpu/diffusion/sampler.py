@@ -207,7 +207,7 @@ def sample_ddpm(
     def body(carry, tt):
         x, k = carry
         t, t_prev = tt
-        k, k_m, k_n = jax.random.split(k, 3)
+        k, k_m, k_n, k_est = jax.random.split(k, 4)
         out = model_fn(x, t, k_m)
         pred_var = None
         if learned:
@@ -219,8 +219,10 @@ def sample_ddpm(
         )
         u = None
         if estimator is not None:
+            # k_est is split from k_n so the estimator's ensemble draws are
+            # independent of the ancestral step noise (round-1 review fix).
             state = StepState(x, step.pred_original_sample, step.pred_epsilon, step.prev_sample, t, t_prev)
-            u = estimator(model_fn, schedule, state, k_n)
+            u = estimator(model_fn, schedule, state, k_est)
         return (step.prev_sample, k), u
 
     w0, w1 = (0, 0)

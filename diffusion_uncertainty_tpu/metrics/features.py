@@ -23,7 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["RandomConvFeatures", "InceptionV3", "InceptionV3Features", "convert_inception"]
+__all__ = [
+    "RandomConvFeatures",
+    "InceptionV3",
+    "InceptionV3Features",
+    "convert_inception",
+    "VGG16",
+    "VGG16Features",
+    "convert_vgg16",
+]
 
 
 class RandomConvFeatures:
@@ -262,6 +270,108 @@ class InceptionV3Features:
             x = images_uint8.astype(jnp.float32) / 255.0
             x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
             x = 2.0 * x - 1.0
+            return model.apply(self.params, x.astype(dtype)).astype(jnp.float32)
+
+        self._fwd = fwd
+
+    def __call__(self, images_uint8: jnp.ndarray) -> jnp.ndarray:
+        return self._fwd(images_uint8)
+
+
+# ---------------------------------------------------------------------------
+# VGG16 (improved-P&R protocol: vgg16-fc2 features, reference
+# ``metrics/precision_recall.py:128-161``)
+# ---------------------------------------------------------------------------
+
+# torchvision vgg16 "features" conv layer indices (keys features.{i}.weight)
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_VGG16_CHANNELS = (64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512)
+# maxpool after these conv positions (0-based within the 13 convs)
+_VGG16_POOL_AFTER = frozenset({1, 3, 6, 9, 12})
+
+
+class VGG16(nn.Module):
+    """torchvision VGG16 trunk + fc1/fc2 classifier head.
+
+    ``__call__(x[B,224,224,3] float) -> [B, 4096]`` fc2 features — the
+    improved-P&R embedding (``vgg16.classifier[:4]``: Linear→ReLU→Dropout→
+    Linear, dropout inert at inference). Channel-last; converter handles the
+    NCHW→HWIO transpose and the 7·7·512 flatten order.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        for i, ch in enumerate(_VGG16_CHANNELS):
+            x = nn.Conv(ch, (3, 3), padding=1, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+            if i in _VGG16_POOL_AFTER:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        # torch flattens NCHW [B,512,7,7] -> [B, 512*7*7]; we are NHWC so
+        # transpose before flattening to keep the fc1 weight layout identical
+        b = x.shape[0]
+        x = x.transpose(0, 3, 1, 2).reshape(b, -1)
+        x = nn.relu(nn.Dense(4096, name="fc1")(x))
+        return nn.Dense(4096, name="fc2")(x)
+
+
+def convert_vgg16(sd: dict) -> dict:
+    """torchvision ``vgg16().state_dict()`` → flax params for ``VGG16``.
+
+    classifier.6 (the 1000-way logits head) is unused by the P&R protocol and
+    is accepted-but-dropped.
+    """
+    params: dict = {}
+    for i, idx in enumerate(_VGG16_CONV_IDX):
+        w = np.asarray(sd[f"features.{idx}.weight"], np.float32)  # [O,I,3,3]
+        params[f"conv_{i}"] = {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": np.asarray(sd[f"features.{idx}.bias"], np.float32),
+        }
+    for name, key in (("fc1", "classifier.0"), ("fc2", "classifier.3")):
+        params[name] = {
+            "kernel": np.asarray(sd[f"{key}.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{key}.bias"], np.float32),
+        }
+    expected = {f"features.{i}.{s}" for i in _VGG16_CONV_IDX for s in ("weight", "bias")}
+    expected |= {f"classifier.{i}.{s}" for i in (0, 3, 6) for s in ("weight", "bias")}
+    unknown = set(sd) - expected
+    if unknown:
+        raise ValueError(f"unexpected vgg16 checkpoint keys: {sorted(unknown)[:8]}")
+    return {"params": params}
+
+
+class VGG16Features:
+    """uint8 NHWC [N,H,W,3] -> [N, 4096] improved-P&R features.
+
+    Protocol parity with the reference extractor
+    (``metrics/precision_recall.py:136-161``): inputs scaled to [0,1]
+    (torchvision ToTensor), images smaller than 224 center-padded with zeros,
+    larger ones nearest-resized (torch ``F.interpolate`` default mode), then
+    the vgg16-fc2 embedding.
+    """
+
+    dim = 4096
+
+    def __init__(self, weights_path: Path, dtype=jnp.float32):
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        self.params = jax.tree.map(
+            jnp.asarray, convert_vgg16({k: t.numpy() for k, t in sd.items()})
+        )
+        model = VGG16()
+
+        @jax.jit
+        def fwd(images_uint8):
+            x = images_uint8.astype(jnp.float32) / 255.0
+            h, w = x.shape[1], x.shape[2]
+            if h < 224 or w < 224:
+                ph, pw = (224 - h) // 2, (224 - w) // 2
+                x = jnp.pad(x, ((0, 0), (ph, 224 - h - ph), (pw, 224 - w - pw), (0, 0)))
+            elif (h, w) != (224, 224):
+                x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "nearest")
             return model.apply(self.params, x.astype(dtype)).astype(jnp.float32)
 
         self._fwd = fwd

@@ -1,4 +1,5 @@
-"""Flax model zoo: ADM UNet (+classifier), HF-style UNet2D, U-ViT (+KL-AE).
+"""Flax model zoo: ADM UNet (+classifier), HF-style UNet2D, SD-class
+conditional UNet, U-ViT (+KL-AE).
 
 All models are NHWC (TPU conv-native), take traced int32 timesteps, and expose
 ``.apply``-style pure forwards. Checkpoint converters from the reference's
@@ -7,5 +8,6 @@ PyTorch state dicts live in ``convert.py``.
 
 from .adm_unet import ADMUNet, ADMUNetConfig, ADMClassifier, ADMClassifierConfig  # noqa: F401
 from .unet2d import UNet2D, UNet2DConfig  # noqa: F401
+from .sd_unet import SDUNet, SDUNetConfig  # noqa: F401
 from .uvit import UViT, UViTConfig  # noqa: F401
 from .autoencoder import AutoencoderKL, AutoencoderKLConfig  # noqa: F401

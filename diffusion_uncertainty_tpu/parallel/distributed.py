@@ -22,15 +22,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level export; fall back for older stacks
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["initialize", "process_info", "sharded_feature_stats"]
 
 
 def initialize(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    """``jax.distributed.initialize`` wrapper; no-op when single-process."""
+    """``jax.distributed.initialize`` wrapper.
+
+    No-op when the runtime is already multi-process (initialise exactly once)
+    or when no coordinator is given (single-process run).
+    """
     if jax.process_count() > 1:
-        return  # already initialised
+        return  # runtime already initialised as multi-process
     if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
 

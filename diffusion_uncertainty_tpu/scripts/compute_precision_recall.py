@@ -2,9 +2,10 @@
 
 Parity: reference ``scripts/compute_pr_true_dataset.py`` (build and cache the
 real manifold features) and ``scripts/compute_pr_generated_samples.py``
-(P&R of the kept-vs-dropped-uncertain generated sets). The reference uses
-VGG16-fc2 features; the extractor here is pluggable (Inception when weights
-are present, random-projection otherwise — relative comparisons only).
+(P&R of the kept-vs-dropped-uncertain generated sets). Protocol extractor is
+VGG16-fc2 (``--vgg-weights``, reference ``metrics/precision_recall.py:128-161``);
+falls back to Inception / random-projection features when VGG weights are
+unavailable (relative comparisons only, numbers not paper-comparable).
 """
 
 from __future__ import annotations
@@ -39,7 +40,20 @@ class Config:
     drop_mode: str = "most"
     k: int = 3
     seed: int = 0
-    inception_weights: Optional[str] = None
+    vgg_weights: Optional[str] = None  # torchvision vgg16 state dict (the reference protocol)
+    inception_weights: Optional[str] = None  # fallback extractor
+
+
+def _pr_extractor(cfg: Config):
+    """VGG16-fc2 (reference protocol) when weights exist, else FID fallback."""
+    from ..metrics.features import VGG16Features
+
+    w = cfg.vgg_weights or (paths.models_dir() / "vgg16-397923af.pth")
+    if Path(w).exists():
+        log.info("using VGG16-fc2 features from %s (reference P&R protocol)", w)
+        return VGG16Features(Path(w))
+    log.warning("no VGG16 weights at %s — falling back to FID extractor (relative P&R only)", w)
+    return make_extractor(FidConfig(dataset=cfg.dataset, inception_weights=cfg.inception_weights))
 
 
 def _real_features_path(dataset: str) -> Path:
@@ -59,7 +73,7 @@ def mode_real(cfg: Config):
         ds = CIFAR10Dataset(cfg.data_root, image_size=size)
     else:
         ds = ImagenetDataset(cfg.data_root, "train", image_size=size)
-    ext = make_extractor(FidConfig(dataset=cfg.dataset, inception_weights=cfg.inception_weights))
+    ext = _pr_extractor(cfg)
     feats = []
     for batch in iterate_batches(ds, cfg.batch_size, range(min(cfg.num_samples, len(ds)))):
         imgs = (batch["image"] * 255).astype(np.uint8)[: batch["count"]]
@@ -76,7 +90,7 @@ def mode_generated(cfg: Config):
     gen = load_run_arrays(run, "gen_images")
     unc = load_run_arrays(run, "uncertainty")
     total_u = unc.reshape(unc.shape[0], -1).sum(axis=1)
-    ext = make_extractor(FidConfig(dataset=cfg.dataset, inception_weights=cfg.inception_weights))
+    ext = _pr_extractor(cfg)
     feats = extract_features(ext, gen, cfg.batch_size)
 
     results = {"dataset": cfg.dataset, "run_dir": str(run), "k": cfg.k, "drop_fraction": cfg.drop_fraction}

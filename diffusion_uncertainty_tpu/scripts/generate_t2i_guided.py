@@ -1,0 +1,197 @@
+"""Text-to-image uncertainty-guided generation (SD1.5-class), guided vs plain.
+
+Parity: reference ``scripts/generate_with_uncertainty_threshold_stable_diffusion.py:13-74``
+(and the SD3/Flux siblings) — run the uncertainty-guided pipeline on a prompt,
+save ``output_sd_uc.png`` to a numbered folder with ``args.yaml``, then (unless
+``--skip-original``) the plain pipeline's ``output_sd.png`` beside it. The
+reference's module-global ``use_posterior`` toggle
+(``uncertainty_guidance.py:8``, set by the script ``:16-17``) is an explicit
+config field here.
+
+Model stack: flax ``SDUNet`` (+ optional ``AutoencoderKL`` decode) with
+weights converted from diffusers state dicts (``--unet-weights`` /
+``--vae-weights`` torch files), or random-init (``--random-init true``) in
+zero-egress environments. Text encoding is host-side
+(``pipelines/text_encoder.py``), with a deterministic pseudo-embedding
+fallback when CLIP weights are unavailable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..utils import paths
+from ..utils.config import parse_config
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class Config:
+    # reference flags (defaults from the reference script + config/stable_diffusion_guidance/base.yaml)
+    prompt: str = "a photo of a cat"
+    prompt_negative: str = ""
+    num_steps: int = 20
+    seed: int = 491
+    start_step_threshold: int = 0
+    num_steps_threshold: int = 20
+    percentile: float = 0.95
+    skip_original: bool = False
+    use_posterior: bool = False
+    strength: float = 0.99  # reference --strength -> guidance lr
+    # model plumbing (this framework)
+    model: str = "sd15"  # sd15 | sd21 | tiny (tests)
+    guidance_scale: float = 7.5
+    M: int = 5
+    unet_weights: Optional[str] = None  # diffusers UNet state dict (torch file)
+    vae_weights: Optional[str] = None  # diffusers/CompVis KL-VAE state dict
+    clip_path: Optional[str] = None  # local CLIP text encoder dir
+    random_init: bool = False
+    dtype: str = "bfloat16"
+    height: int = 512
+    width: int = 512
+    out_dir: Optional[str] = None
+
+
+def build_sd_stack(cfg: Config):
+    """(denoise_fn, decode_fn, schedule, latent_size) for the requested model.
+
+    denoise_fn closes over nothing trainable — params are threaded as explicit
+    jit arguments by the pipeline caller contract (CLAUDE.md rule 1), so we
+    return (apply_fn, params) pairs and bind at the jit boundary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..diffusion.schedule import make_schedule
+    from ..models import SDUNet, SDUNetConfig
+    from ..models.convert import convert_sd_unet, load_torch_state_dict
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    if cfg.model == "tiny":
+        mcfg = SDUNetConfig.tiny()
+    elif cfg.model == "sd21":
+        mcfg = dataclasses.replace(SDUNetConfig.sd21(), dtype=dtype)
+    else:
+        mcfg = dataclasses.replace(SDUNetConfig.sd15(), dtype=dtype)
+    model = SDUNet(mcfg)
+    latent_size = cfg.height // 8 if cfg.model != "tiny" else mcfg.sample_size
+
+    if cfg.unet_weights:
+        params = convert_sd_unet(load_torch_state_dict(cfg.unet_weights), mcfg)
+    elif cfg.random_init:
+        x0 = jnp.zeros((1, latent_size, latent_size, mcfg.in_channels))
+        ctx0 = jnp.zeros((1, 77, mcfg.cross_attention_dim))
+        params = model.init(jax.random.key(0), x0, jnp.asarray(0), ctx0)
+    else:
+        raise SystemExit("need --unet-weights or --random-init true (no network egress)")
+
+    # SD trains on the scaled-linear schedule (ref SD pipeline scheduler config)
+    schedule = make_schedule("scaled_linear", 1000, beta_start=0.00085, beta_end=0.012)
+
+    def make_denoise_fn(p):
+        def denoise_fn(z, t, embeds, key):
+            return model.apply(p, z, t, embeds)
+
+        return denoise_fn
+
+    decode = None
+    if cfg.vae_weights or cfg.model == "tiny":
+        from ..models import AutoencoderKL, AutoencoderKLConfig
+        from ..models.convert import convert_autoencoder_kl
+
+        acfg = AutoencoderKLConfig.tiny() if cfg.model == "tiny" else AutoencoderKLConfig.sd_kl_ema()
+        ae = AutoencoderKL(acfg)
+        if cfg.vae_weights:
+            aparams = convert_autoencoder_kl(load_torch_state_dict(cfg.vae_weights), acfg)
+        else:
+            aparams = ae.init(
+                jax.random.key(1),
+                jnp.zeros((1, latent_size, latent_size, acfg.embed_dim)),
+                "decode",
+            )
+
+        def decode(z):
+            return ae.apply(aparams, z / 0.18215, "decode")
+
+    return model, params, make_denoise_fn, decode, schedule, latent_size, mcfg
+
+
+def save_png(path, images: np.ndarray) -> None:
+    """[B,H,W,3] float in [-1,1] -> horizontal-grid PNG (PIL, host)."""
+    from PIL import Image
+
+    arr = np.clip(np.asarray(images, np.float32) / 2.0 + 0.5, 0.0, 1.0)
+    arr = (arr * 255.0).astype(np.uint8)
+    grid = np.concatenate(list(arr), axis=1)
+    Image.fromarray(grid).save(path)
+
+
+def main(argv=None) -> int:
+    import jax
+    import yaml
+
+    from ..pipelines.text_encoder import encode_prompts
+    from ..pipelines.text_to_image import T2IPipelineConfig, TextToImageUncertaintyPipeline
+
+    cfg = parse_config(Config, argv, defaults={})
+    model, params, make_denoise_fn, decode, schedule, latent_size, mcfg = build_sd_stack(cfg)
+
+    cond, uncond = encode_prompts(
+        [cfg.prompt], [cfg.prompt_negative], local_path=cfg.clip_path
+    )
+    if cond.shape[-1] != mcfg.cross_attention_dim:  # tiny-model path
+        from ..pipelines.text_encoder import pseudo_text_embeddings
+
+        cond = pseudo_text_embeddings([cfg.prompt], seq_len=5, dim=mcfg.cross_attention_dim)
+        uncond = pseudo_text_embeddings([cfg.prompt_negative], seq_len=5, dim=mcfg.cross_attention_dim)
+
+    pcfg = T2IPipelineConfig(
+        num_inference_steps=cfg.num_steps,
+        guidance_scale=cfg.guidance_scale,
+        start_step_uc=cfg.start_step_threshold,
+        num_steps_uc=cfg.num_steps_threshold,
+        percentile=cfg.percentile,
+        use_posterior=cfg.use_posterior,
+        lr=cfg.strength,
+        M=cfg.M,
+        latent_channels=mcfg.in_channels,
+        latent_size=latent_size,
+    )
+    pipe = TextToImageUncertaintyPipeline(make_denoise_fn(params), schedule, decode, pcfg)
+
+    # numbered destination folder + args.yaml (ref script :44-52)
+    base = paths.ensure(
+        paths.sd_uncertainty_guidance() if cfg.out_dir is None else __import__("pathlib").Path(cfg.out_dir)
+    )
+    i = 0
+    while (base / f"{i}").exists():
+        i += 1
+    dest = base / f"{i}"
+    dest.mkdir()
+    with open(dest / "args.yaml", "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
+
+    key = jax.random.key(cfg.seed)
+    res = pipe(cond, key, uncond_embeds=uncond)
+    save_png(dest / "output_sd_uc.png", np.asarray(res.images))
+    if res.uncertainty is not None:
+        np.savez(dest / "uncertainty.npz", data=np.asarray(res.uncertainty))
+
+    if not cfg.skip_original:
+        plain_cfg = dataclasses.replace(pcfg, num_steps_uc=0)
+        plain = TextToImageUncertaintyPipeline(make_denoise_fn(params), schedule, decode, plain_cfg)
+        res0 = plain(cond, jax.random.key(cfg.seed), uncond_embeds=uncond)
+        save_png(dest / "output_sd.png", np.asarray(res0.images))
+
+    log.info("saved to %s", dest)
+    print(f"Saved to {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

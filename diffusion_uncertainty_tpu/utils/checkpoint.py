@@ -28,11 +28,21 @@ def save_params(path: Path, params: Any) -> Path:
 
 
 def load_params(path: Path, template: Optional[Any] = None) -> Any:
+    import jax
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
     if template is not None:
-        return _checkpointer().restore(path, item=template)
+        # Restore with explicit per-leaf shardings derived from the template
+        # (silences orbax's "missing sharding info, assuming single-device"
+        # warning and keeps already-sharded templates sharded).
+        def _restore_arg(leaf):
+            if isinstance(leaf, jax.Array):
+                return ocp.ArrayRestoreArgs(sharding=leaf.sharding, dtype=leaf.dtype)
+            return ocp.RestoreArgs()
+
+        restore_args = jax.tree.map(_restore_arg, template)
+        return _checkpointer().restore(path, item=template, restore_args=restore_args)
     return _checkpointer().restore(path)
 
 

@@ -70,3 +70,9 @@ def fid_stats() -> Path:
 def starting_points() -> Path:
     """Shared X_T / y starting tensors (ref DIFFUSION_STARTING_POINTS, ``paths.py:36``)."""
     return data_dir() / "diffusion-starting-points"
+
+
+def sd_uncertainty_guidance() -> Path:
+    """Numbered output folders of the T2I guided-generation script (ref
+    ``STABLE_DIFFUSION_UNCERTAINTY_GUIDANCE``, ``paths.py``)."""
+    return results() / "stable-diffusion-uncertainty-guidance"

@@ -279,3 +279,150 @@ def test_unet2d_converter_cifar10_full_size():
     params = convert_unet2d(sd, cfg)
     n = sum(np.asarray(p).size for p in jax.tree.leaves(params))
     assert 30e6 < n < 42e6
+
+
+# ---------------------------------------------------------------------------
+# SD UNet (diffusers UNet2DConditionModel layout)
+# ---------------------------------------------------------------------------
+
+
+def _torch_sd_xattn(sd, pfx, c, ctx_dim):
+    for name, din in (("to_q", c), ("to_k", ctx_dim), ("to_v", ctx_dim)):
+        sd[f"{pfx}.{name}.weight"] = _r(c, din)  # no bias (diffusers Attention)
+    sd[f"{pfx}.to_out.0.weight"] = _r(c, c)
+    sd[f"{pfx}.to_out.0.bias"] = _r(c)
+
+
+def _torch_sd_transformer(sd, pfx, c, ctx_dim, depth, linear_proj):
+    sd[f"{pfx}.norm.weight"] = _r(c)
+    sd[f"{pfx}.norm.bias"] = _r(c)
+    proj_shape = (c, c) if linear_proj else (c, c, 1, 1)
+    sd[f"{pfx}.proj_in.weight"] = _r(*proj_shape)
+    sd[f"{pfx}.proj_in.bias"] = _r(c)
+    for k in range(depth):
+        b = f"{pfx}.transformer_blocks.{k}"
+        for n in ("norm1", "norm2", "norm3"):
+            sd[f"{b}.{n}.weight"] = _r(c)
+            sd[f"{b}.{n}.bias"] = _r(c)
+        _torch_sd_xattn(sd, f"{b}.attn1", c, c)
+        _torch_sd_xattn(sd, f"{b}.attn2", c, ctx_dim)
+        sd[f"{b}.ff.net.0.proj.weight"] = _r(8 * c, c)
+        sd[f"{b}.ff.net.0.proj.bias"] = _r(8 * c)
+        sd[f"{b}.ff.net.2.weight"] = _r(c, 4 * c)
+        sd[f"{b}.ff.net.2.bias"] = _r(c)
+    sd[f"{pfx}.proj_out.weight"] = _r(*proj_shape)
+    sd[f"{pfx}.proj_out.bias"] = _r(c)
+
+
+def make_torch_sd_state_dict(cfg) -> dict:
+    emb = 4 * cfg.block_out_channels[0]
+    sd = {}
+    sd["time_embedding.linear_1.weight"] = _r(emb, cfg.block_out_channels[0])
+    sd["time_embedding.linear_1.bias"] = _r(emb)
+    sd["time_embedding.linear_2.weight"] = _r(emb, emb)
+    sd["time_embedding.linear_2.bias"] = _r(emb)
+    sd["conv_in.weight"] = _r(cfg.block_out_channels[0], cfg.in_channels, 3, 3)
+    sd["conv_in.bias"] = _r(cfg.block_out_channels[0])
+
+    ch = cfg.block_out_channels[0]
+    for bi, (btype, out_ch) in enumerate(zip(cfg.down_block_types, cfg.block_out_channels)):
+        for li in range(cfg.layers_per_block):
+            _torch_hf_resnet(sd, f"down_blocks.{bi}.resnets.{li}", ch, out_ch, emb)
+            ch = out_ch
+            if btype == "CrossAttnDownBlock2D":
+                _torch_sd_transformer(
+                    sd, f"down_blocks.{bi}.attentions.{li}", out_ch,
+                    cfg.cross_attention_dim, cfg.transformer_layers_per_block,
+                    cfg.use_linear_projection,
+                )
+        if bi != len(cfg.down_block_types) - 1:
+            sd[f"down_blocks.{bi}.downsamplers.0.conv.weight"] = _r(out_ch, out_ch, 3, 3)
+            sd[f"down_blocks.{bi}.downsamplers.0.conv.bias"] = _r(out_ch)
+
+    mid = cfg.block_out_channels[-1]
+    _torch_hf_resnet(sd, "mid_block.resnets.0", mid, mid, emb)
+    _torch_sd_transformer(
+        sd, "mid_block.attentions.0", mid, cfg.cross_attention_dim,
+        cfg.transformer_layers_per_block, cfg.use_linear_projection,
+    )
+    _torch_hf_resnet(sd, "mid_block.resnets.1", mid, mid, emb)
+
+    rev = tuple(reversed(cfg.block_out_channels))
+    skip_chs = [cfg.block_out_channels[0]]
+    for bi, out_ch in enumerate(cfg.block_out_channels):
+        skip_chs.extend([out_ch] * cfg.layers_per_block)
+        if bi != len(cfg.block_out_channels) - 1:
+            skip_chs.append(out_ch)
+    for bi, (btype, out_ch) in enumerate(zip(cfg.up_block_types, rev)):
+        for li in range(cfg.layers_per_block + 1):
+            skip = skip_chs.pop()
+            _torch_hf_resnet(sd, f"up_blocks.{bi}.resnets.{li}", ch + skip, out_ch, emb)
+            ch = out_ch
+            if btype == "CrossAttnUpBlock2D":
+                _torch_sd_transformer(
+                    sd, f"up_blocks.{bi}.attentions.{li}", out_ch,
+                    cfg.cross_attention_dim, cfg.transformer_layers_per_block,
+                    cfg.use_linear_projection,
+                )
+        if bi != len(cfg.up_block_types) - 1:
+            sd[f"up_blocks.{bi}.upsamplers.0.conv.weight"] = _r(out_ch, out_ch, 3, 3)
+            sd[f"up_blocks.{bi}.upsamplers.0.conv.bias"] = _r(out_ch)
+
+    sd["conv_norm_out.weight"] = _r(cfg.block_out_channels[0])
+    sd["conv_norm_out.bias"] = _r(cfg.block_out_channels[0])
+    sd["conv_out.weight"] = _r(cfg.out_channels, cfg.block_out_channels[0], 3, 3)
+    sd["conv_out.bias"] = _r(cfg.out_channels)
+    return sd
+
+
+def test_sd_unet_converter_structure_and_forward():
+    from diffusion_uncertainty_tpu.models import SDUNet, SDUNetConfig
+    from diffusion_uncertainty_tpu.models.convert import convert_sd_unet
+
+    cfg = SDUNetConfig.tiny()
+    sd = make_torch_sd_state_dict(cfg)
+    params = convert_sd_unet(sd, cfg)
+
+    model = SDUNet(cfg)
+    x = jnp.zeros((2, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.asarray(7)
+    ctx = jnp.ones((2, 5, cfg.cross_attention_dim))
+    ref = model.init(jax.random.key(0), x, t, ctx)
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    got_shapes = jax.tree.map(lambda a: a.shape, params)
+    assert ref_shapes == got_shapes
+
+    out = model.apply(params, x + 0.1, t, ctx)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd_unet_converter_linear_projection_variant():
+    """SD2.x layout: transformer projections are Linear, not Conv1x1."""
+    import dataclasses
+
+    from diffusion_uncertainty_tpu.models import SDUNet, SDUNetConfig
+    from diffusion_uncertainty_tpu.models.convert import convert_sd_unet
+
+    cfg = dataclasses.replace(SDUNetConfig.tiny(), use_linear_projection=True)
+    sd = make_torch_sd_state_dict(cfg)
+    params = convert_sd_unet(sd, cfg)
+    model = SDUNet(cfg)
+    x = jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    out = model.apply(params, x, jnp.asarray(3), jnp.ones((1, 5, cfg.cross_attention_dim)))
+    assert out.shape == x.shape
+
+
+def test_sd_unet_converter_strict_accounting():
+    from diffusion_uncertainty_tpu.models import SDUNetConfig
+    from diffusion_uncertainty_tpu.models.convert import convert_sd_unet
+
+    cfg = SDUNetConfig.tiny()
+    sd = make_torch_sd_state_dict(cfg)
+    sd["extra.key"] = _r(3)
+    with pytest.raises(ValueError, match="unconsumed"):
+        convert_sd_unet(sd, cfg)
+    sd2 = make_torch_sd_state_dict(cfg)
+    del sd2["mid_block.attentions.0.proj_in.weight"]
+    with pytest.raises(KeyError, match="missing"):
+        convert_sd_unet(sd2, cfg)

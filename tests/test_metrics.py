@@ -136,3 +136,100 @@ def test_bpd_oracle_model_lower_than_bad_model():
     bpd_good = float(calc_bpd_loop(good, sched, x0, jax.random.key(3)).total_bpd.mean())
     bpd_bad = float(calc_bpd_loop(bad, sched, x0, jax.random.key(3)).total_bpd.mean())
     assert bpd_good < bpd_bad
+
+
+def test_vgg16_converter_matches_torch_forward():
+    """Numerical parity of the flax VGG16-fc2 extractor vs a hand-built torch
+    model with torchvision key layout — catches the NCHW flatten-order trap
+    (fc1 consumes [512,7,7] in channel-major order)."""
+    import torch
+    import torch.nn as tnn
+
+    from diffusion_uncertainty_tpu.metrics.features import (
+        VGG16,
+        _VGG16_CHANNELS,
+        _VGG16_CONV_IDX,
+        _VGG16_POOL_AFTER,
+        convert_vgg16,
+    )
+
+    torch.manual_seed(0)
+    layers = []
+    c_in = 3
+    for i, ch in enumerate(_VGG16_CHANNELS):
+        layers += [tnn.Conv2d(c_in, ch, 3, padding=1), tnn.ReLU()]
+        if i in _VGG16_POOL_AFTER:
+            layers.append(tnn.MaxPool2d(2, 2))
+        c_in = ch
+    features = tnn.Sequential(*layers)
+    classifier = tnn.Sequential(
+        tnn.Linear(512 * 7 * 7, 4096), tnn.ReLU(), tnn.Dropout(),
+        tnn.Linear(4096, 4096), tnn.ReLU(), tnn.Dropout(), tnn.Linear(4096, 1000),
+    )
+    for m in list(features) + list(classifier):
+        if hasattr(m, "weight"):
+            tnn.init.normal_(m.weight, std=0.05)
+            tnn.init.normal_(m.bias, std=0.05)
+
+    # export with torchvision key names
+    sd = {}
+    conv_i = 0
+    for idx, m in enumerate(features):
+        if isinstance(m, tnn.Conv2d):
+            assert idx == _VGG16_CONV_IDX[conv_i]
+            sd[f"features.{idx}.weight"] = m.weight.detach().numpy()
+            sd[f"features.{idx}.bias"] = m.bias.detach().numpy()
+            conv_i += 1
+    for i in (0, 3, 6):
+        sd[f"classifier.{i}.weight"] = classifier[i].weight.detach().numpy()
+        sd[f"classifier.{i}.bias"] = classifier[i].bias.detach().numpy()
+
+    params = jax.tree.map(jnp.asarray, convert_vgg16(sd))
+    x = np.random.RandomState(1).rand(2, 224, 224, 3).astype(np.float32)
+
+    features.eval()
+    classifier.eval()
+    with torch.no_grad():
+        t_feat = features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        t_out = classifier[:4](t_feat.reshape(2, -1)).numpy()
+    j_out = np.asarray(VGG16().apply(params, jnp.asarray(x)))
+    # f32 accumulation over the 25088-wide fc1 matmul: compare on a
+    # scale-relative tolerance
+    scale = np.abs(t_out).max()
+    np.testing.assert_allclose(j_out / scale, t_out / scale, atol=1e-4)
+
+
+def test_vgg16_features_wrapper_pads_small_images(tmp_path):
+    """uint8 [N,32,32,3] goes through the 224-pad path and returns [N,4096]."""
+    import torch
+
+    from diffusion_uncertainty_tpu.metrics.features import (
+        VGG16,
+        _VGG16_CHANNELS,
+        _VGG16_CONV_IDX,
+        VGG16Features,
+    )
+
+    # tiny random checkpoint in torchvision layout
+    rs = np.random.RandomState(0)
+    sd = {}
+    c_in = 3
+    for i, (idx, ch) in enumerate(zip(_VGG16_CONV_IDX, _VGG16_CHANNELS)):
+        sd[f"features.{idx}.weight"] = torch.tensor(rs.randn(ch, c_in, 3, 3).astype(np.float32) * 0.02)
+        sd[f"features.{idx}.bias"] = torch.tensor(rs.randn(ch).astype(np.float32) * 0.02)
+        c_in = ch
+    sd["classifier.0.weight"] = torch.tensor(rs.randn(4096, 512 * 7 * 7).astype(np.float32) * 0.002)
+    sd["classifier.0.bias"] = torch.tensor(rs.randn(4096).astype(np.float32) * 0.02)
+    for i in (3, 6):
+        out_d = 4096 if i == 3 else 1000
+        sd[f"classifier.{i}.weight"] = torch.tensor(rs.randn(out_d, 4096).astype(np.float32) * 0.002)
+        sd[f"classifier.{i}.bias"] = torch.tensor(rs.randn(out_d).astype(np.float32) * 0.02)
+    p = tmp_path / "vgg16.pth"
+    torch.save(sd, p)
+
+    ext = VGG16Features(p)
+    imgs = (rs.rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    feats = np.asarray(ext(jnp.asarray(imgs)))
+    assert feats.shape == (3, 4096)
+    assert np.isfinite(feats).all()
+    assert ext.dim == 4096

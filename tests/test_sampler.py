@@ -144,3 +144,26 @@ def test_sample_ddpm_with_estimator(sched):
     cfg = SamplerConfig(num_inference_steps=8, after_step=3, num_steps_uc=2)
     res = sample_ddpm(lambda x, t, k: 0.1 * x, sched, jnp.ones(SHAPE), jax.random.key(3), cfg, estimator=est)
     assert res.uncertainty.shape == (2,) + SHAPE
+
+
+def test_sample_ddpm_estimator_key_independent_of_step_noise(sched):
+    """Regression: the estimator must receive a key split from (not equal to)
+    the ancestral-noise key, so ensemble draws and step noise are independent
+    (round-1 review: sampler.py passed k_n to both)."""
+    from diffusion_uncertainty_tpu.diffusion.sampler import sample_ddpm
+
+    # Estimator that simply re-emits normal(key) — lets us recover the key it
+    # was handed by comparing against the expected split chain.
+    def key_probe(model_fn, schedule, state, key):
+        return jax.random.normal(key, state.sample.shape, jnp.float32)
+
+    key0 = jax.random.key(7)
+    cfg = SamplerConfig(num_inference_steps=1, after_step=0, num_steps_uc=1)
+    res = sample_ddpm(lambda x, t, k: 0.1 * x, sched, jnp.ones(SHAPE), key0, cfg,
+                      estimator=key_probe)
+
+    _, k_m, k_n, k_est = jax.random.split(key0, 4)
+    expected = jax.random.normal(k_est, SHAPE, jnp.float32)
+    step_noise = jax.random.normal(k_n, SHAPE, jnp.float32)
+    np.testing.assert_allclose(np.asarray(res.uncertainty[0]), np.asarray(expected))
+    assert not np.allclose(np.asarray(res.uncertainty[0]), np.asarray(step_noise))
