@@ -91,15 +91,15 @@ def _tables(schedule: NoiseSchedule, cfg: DPMSolverConfig):
     lambda_t = np.log(np.maximum(alpha_t, 1e-30)) - np.log(np.maximum(sigma_t, 1e-30))
 
     n = cfg.num_inference_steps
-    # static order schedule: first step is order-1 warmup; final step(s) drop
-    # to order 1 under lower_order_final for short chains (ref :915-921)
-    first_order = np.zeros(n, bool)
-    first_order[0] = True
-    if cfg.solver_order == 1:
-        first_order[:] = True
+    # static per-step order schedule (the reference keeps this as mutable
+    # ``lower_order_nums`` state, ``scheduling_dpm_2_uncertainty_centered.py:915-921``):
+    # warmup steps i run at order min(solver_order, i+1); under
+    # lower_order_final the tail steps drop to min(order, n-i) so the chain
+    # ends on a stable order-1 update (always when final sigma is zero).
+    order = np.minimum(cfg.solver_order, np.arange(1, n + 1))
     if cfg.lower_order_final and (n < 15 or cfg.final_sigmas_type == "zero"):
-        first_order[n - 1] = True
-    return ts.astype(np.int32), sigmas, alpha_t, sigma_t, lambda_t, first_order
+        order = np.minimum(order, np.arange(n, 0, -1))
+    return ts.astype(np.int32), sigmas, alpha_t, sigma_t, lambda_t, order.astype(np.int32)
 
 
 def sample_dpm_solver(
@@ -111,14 +111,16 @@ def sample_dpm_solver(
     estimator: Optional[EstimatorFn] = None,
     guidance=None,
 ) -> SampleResult:
-    """Full reverse chain under DPM-Solver++ (orders 1-2)."""
-    ts_host, sigmas, alpha_t, sigma_t, lambda_t, first_order = _tables(schedule, cfg)
+    """Full reverse chain under DPM-Solver++ (orders 1-3, diffusers
+    ``multistep_dpm_solver_{first,second,third}_order_update`` — reference
+    carries all three in ``scheduling_dpm_2_uncertainty_centered.py:580-855``)."""
+    ts_host, sigmas, alpha_t, sigma_t, lambda_t, order = _tables(schedule, cfg)
     n = cfg.num_inference_steps
     timesteps = jnp.asarray(ts_host)
     alpha_j = jnp.asarray(alpha_t, jnp.float32)
     sigma_j = jnp.asarray(sigma_t, jnp.float32)
     lambda_j = jnp.asarray(lambda_t, jnp.float32)
-    first_order_j = jnp.asarray(first_order)
+    order_j = jnp.asarray(order)
 
     step_ratio = cfg.num_train_timesteps // cfg.num_inference_steps
 
@@ -142,23 +144,42 @@ def sample_dpm_solver(
             x0 = _dynamic_threshold(x0, 0.995, cfg.sample_max_value)
         return x0
 
-    def solver_update(x, x0, x0_prev, i):
-        """Order-1 / order-2(midpoint) dpmsolver++ updates, selected by the
-        static per-step table (diffusers first/second_order_update)."""
+    def solver_update(x, x0, x0_prev, x0_prev2, i):
+        """Order-1/2/3 dpmsolver++ updates, selected by the static per-step
+        order table (diffusers first/second/third_order_update)."""
         x = x.astype(jnp.float32)
         s_t, s_s = sigma_j[i + 1], sigma_j[i]
         a_next = alpha_j[i + 1]
         h = lambda_j[i + 1] - lambda_j[i]
         em1 = jnp.exp(-h) - 1.0
+        hs = jnp.where(h == 0, 1.0, h)
 
         x1 = (s_t / s_s) * x - a_next * em1 * x0
 
+        # order 2 (midpoint): D1 from the previous converted output
         h0 = lambda_j[i] - lambda_j[jnp.maximum(i - 1, 0)]
-        r0 = h0 / jnp.where(h == 0, 1.0, h)
-        d1 = (x0 - x0_prev) / jnp.where(r0 == 0, 1.0, r0)
-        x2 = (s_t / s_s) * x - a_next * em1 * x0 - 0.5 * a_next * em1 * d1
+        r0 = h0 / hs
+        r0s = jnp.where(r0 == 0, 1.0, r0)
+        d1_0 = (x0 - x0_prev) / r0s
+        x2 = (s_t / s_s) * x - a_next * em1 * x0 - 0.5 * a_next * em1 * d1_0
 
-        return jnp.where(first_order_j[i], x1, x2)
+        # order 3: second divided difference from the two previous outputs
+        h1 = lambda_j[jnp.maximum(i - 1, 0)] - lambda_j[jnp.maximum(i - 2, 0)]
+        r1 = h1 / hs
+        r1s = jnp.where(r1 == 0, 1.0, r1)
+        d1_1 = (x0_prev - x0_prev2) / r1s
+        rsum = jnp.where(r0 + r1 == 0, 1.0, r0 + r1)
+        d1 = d1_0 + (r0 / rsum) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / rsum
+        x3 = (
+            (s_t / s_s) * x
+            - a_next * em1 * x0
+            + a_next * (em1 / hs + 1.0) * d1
+            - a_next * ((em1 + h) / (hs * hs) - 0.5) * d2
+        )
+
+        o = order_j[i]
+        return jnp.where(o == 1, x1, jnp.where(o == 2, x2, x3))
 
     def base_step(x, i, k):
         t = timesteps[i]
@@ -167,17 +188,17 @@ def sample_dpm_solver(
         return out, x0, t
 
     def plain_body(carry, i):
-        x, x0_prev, k = carry
+        x, x0_prev, x0_prev2, k = carry
         k, k_m = jax.random.split(k)
         out, x0, t = base_step(x, i, k_m)
-        next_x = solver_update(x, x0, x0_prev, i).astype(x.dtype)
-        return (next_x, x0, k), None
+        next_x = solver_update(x, x0, x0_prev, x0_prev2, i).astype(x.dtype)
+        return (next_x, x0, x0_prev, k), None
 
     def window_body(carry, i):
-        x, x0_prev, k, aux = carry
+        x, x0_prev, x0_prev2, k, aux = carry
         k, k_m, k_est = jax.random.split(k, 3)
         out, x0, t = base_step(x, i, k_m)
-        next_x = solver_update(x, x0, x0_prev, i).astype(x.dtype)
+        next_x = solver_update(x, x0, x0_prev, x0_prev2, i).astype(x.dtype)
         state = StepState(
             sample=x,
             pred_x0=x0,
@@ -190,27 +211,29 @@ def sample_dpm_solver(
             next_x, u, aux = guidance.apply(model_fn, schedule, state, k_est, aux)
         else:
             u = estimator(model_fn, schedule, state, k_est)
-        return (next_x, x0, k, aux), (u, state.pred_epsilon)
+        return (next_x, x0, x0_prev, k, aux), (u, state.pred_epsilon)
 
     idx = jnp.arange(n)
     x0_init = jnp.zeros_like(x_T, jnp.float32)
 
     if (estimator is None and guidance is None) or cfg.num_steps_uc <= 0:
-        (x, _, _), _ = jax.lax.scan(plain_body, (x_T, x0_init, key), idx)
+        (x, _, _, _), _ = jax.lax.scan(plain_body, (x_T, x0_init, x0_init, key), idx)
         return SampleResult(x, None, None, None)
 
     w0, w1 = uncertainty_window(cfg.after_step, cfg.num_steps_uc, n)
     aux = guidance.init(x_T) if guidance is not None else jnp.zeros((), jnp.float32)
-    x, x0_prev = x_T, x0_init
+    x, x0_prev, x0_prev2 = x_T, x0_init, x0_init
     uncertainty = pred_eps = None
     for lo, hi, in_window in ((0, w0, False), (w0, w1, True), (w1, n, False)):
         if hi <= lo:
             continue
         if in_window:
-            (x, x0_prev, key, aux), (uncertainty, pred_eps) = jax.lax.scan(
-                window_body, (x, x0_prev, key, aux), idx[lo:hi]
+            (x, x0_prev, x0_prev2, key, aux), (uncertainty, pred_eps) = jax.lax.scan(
+                window_body, (x, x0_prev, x0_prev2, key, aux), idx[lo:hi]
             )
         else:
-            (x, x0_prev, key), _ = jax.lax.scan(plain_body, (x, x0_prev, key), idx[lo:hi])
+            (x, x0_prev, x0_prev2, key), _ = jax.lax.scan(
+                plain_body, (x, x0_prev, x0_prev2, key), idx[lo:hi]
+            )
 
     return SampleResult(x, uncertainty, pred_eps, ts_host[w0:w1])

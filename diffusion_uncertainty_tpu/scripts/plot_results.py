@@ -9,7 +9,9 @@ grids) folded into one CLI with ``--kind``:
   uncertainty_maps     — image / summed-uncertainty-map pairs
   fid_curve            — FID vs drop-fraction from results/fid_scores.json
   times                — uncertainty-vs-plain wall-clock bars from times.json
-  sparsification       — AUSE curves from a (gt, recon, uncertainty) run
+  pr_curve             — P&R of uncertainty-sorted groups (ref plot_precision_recall_curves.py)
+  sd_prompt_grid       — guided SD outputs, prompts × percentiles (ref make_grid_prompts_stable_diffusion*.py)
+  sd_row               — plain-vs-guided rows (ref assemble_row_sd.py)
 """
 
 from __future__ import annotations
@@ -36,6 +38,13 @@ class Config:
     run_dir: Optional[str] = None
     out: Optional[str] = None
     num_images: int = 16
+    # pr_curve (ref plot_precision_recall_curves.py)
+    dataset: str = "cifar10"
+    group_size: int = 1000
+    num_groups: int = 5
+    k: int = 3
+    # sd grids (ref make_grid_prompts_stable_diffusion*.py / assemble_row_sd.py)
+    prompt: Optional[str] = None  # filter saved SD runs by prompt
 
 
 def _plt():
@@ -120,12 +129,130 @@ def plot_times(cfg, out: Path):
     fig.savefig(out, dpi=150)
 
 
+def plot_pr_curve(cfg, out: Path):
+    """Precision/recall of uncertainty-sorted sample groups vs the cached real
+    manifold (ref ``plot_precision_recall_curves.py:29-60``): sort generated
+    images by total uncertainty, slice ``num_groups`` windows of
+    ``group_size`` across the ranking, P&R each window."""
+    plt = _plt()
+    from ..metrics.precision_recall import precision_recall
+    from .compute_fid import Config as FidConfig
+    from .compute_precision_recall import _pr_extractor, _real_features_path
+    from ..metrics.fid import extract_features
+
+    real = np.load(_real_features_path(cfg.dataset))
+    run = Path(cfg.run_dir)
+    gen = load_run_arrays(run, "gen_images")
+    unc = load_run_arrays(run, "uncertainty")
+    total_u = unc.reshape(unc.shape[0], -1).sum(axis=1)
+    order = np.argsort(total_u)
+
+    group_size = min(cfg.group_size, len(gen))
+    starts = np.linspace(0, len(gen) - group_size, cfg.num_groups).astype(int)
+    from types import SimpleNamespace
+
+    ext = _pr_extractor(SimpleNamespace(dataset=cfg.dataset, vgg_weights=None, inception_weights=None))
+    precs, recs = [], []
+    for s in starts:
+        feats = extract_features(ext, gen[order[s : s + group_size]], 64)
+        pr = precision_recall(real, feats, k=cfg.k)
+        precs.append(pr.precision)
+        recs.append(pr.recall)
+
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    xs = starts / max(len(gen) - group_size, 1)
+    ax.plot(xs, precs, marker="o", label="precision")
+    ax.plot(xs, recs, marker="s", label="recall")
+    ax.set_xlabel("uncertainty rank of group (0 = least uncertain)")
+    ax.set_ylabel("P / R")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def _load_sd_runs(prompt: Optional[str]):
+    """Saved T2I guided runs (numbered folders with args.yaml, ref
+    ``make_grid_prompts_stable_diffusion.py:16-40``)."""
+    import yaml
+
+    base = paths.sd_uncertainty_guidance()
+    runs = []
+    if not base.exists():
+        return runs
+    for folder in sorted(base.iterdir(), key=lambda p: p.name):
+        meta_f = folder / "args.yaml"
+        if not meta_f.exists():
+            continue
+        meta = yaml.safe_load(meta_f.read_text())
+        if prompt is not None and meta.get("prompt") != prompt:
+            continue
+        runs.append((folder, meta))
+    return runs
+
+
+def plot_sd_prompt_grid(cfg, out: Path):
+    """Grid of guided SD outputs: rows = prompts, columns = percentile
+    (ref ``make_grid_prompts_stable_diffusion.py``)."""
+    plt = _plt()
+    from PIL import Image
+
+    runs = [(f, m) for f, m in _load_sd_runs(cfg.prompt) if (f / "output_sd_uc.png").exists()]
+    if not runs:
+        raise SystemExit("no saved SD runs (run generate_t2i_guided first)")
+    prompts = sorted({m["prompt"] for _, m in runs})
+    percs = sorted({float(m.get("percentile", 0.0)) for _, m in runs})
+    fig, axes = plt.subplots(
+        len(prompts), len(percs), figsize=(2.2 * len(percs), 2.2 * len(prompts)), squeeze=False
+    )
+    for r, p in enumerate(prompts):
+        for c, q in enumerate(percs):
+            ax = axes[r][c]
+            ax.axis("off")
+            match = [f for f, m in runs if m["prompt"] == p and float(m.get("percentile", 0.0)) == q]
+            if match:
+                ax.imshow(np.asarray(Image.open(match[-1] / "output_sd_uc.png")))
+            if r == 0:
+                ax.set_title(f"perc={q}", fontsize=8)
+        axes[r][0].set_ylabel(p[:28], fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
+def plot_sd_row(cfg, out: Path):
+    """One row per run: plain output beside the guided output
+    (ref ``assemble_row_sd.py``)."""
+    plt = _plt()
+    from PIL import Image
+
+    runs = [
+        (f, m)
+        for f, m in _load_sd_runs(cfg.prompt)
+        if (f / "output_sd_uc.png").exists() and (f / "output_sd.png").exists()
+    ][: cfg.num_images]
+    if not runs:
+        raise SystemExit("no saved SD runs with both plain+guided outputs")
+    fig, axes = plt.subplots(len(runs), 2, figsize=(4.6, 2.2 * len(runs)), squeeze=False)
+    for r, (f, m) in enumerate(runs):
+        axes[r][0].imshow(np.asarray(Image.open(f / "output_sd.png")))
+        axes[r][1].imshow(np.asarray(Image.open(f / "output_sd_uc.png")))
+        axes[r][0].set_ylabel(m["prompt"][:28], fontsize=7)
+        for ax in axes[r]:
+            ax.axis("off")
+    axes[0][0].set_title("plain", fontsize=8)
+    axes[0][1].set_title("uncertainty-guided", fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+
+
 _KINDS = {
     "uncertainty_schedule": plot_uncertainty_schedule,
     "image_grid": plot_image_grid,
     "uncertainty_maps": plot_uncertainty_maps,
     "fid_curve": plot_fid_curve,
     "times": plot_times,
+    "pr_curve": plot_pr_curve,
+    "sd_prompt_grid": plot_sd_prompt_grid,
+    "sd_row": plot_sd_row,
 }
 
 

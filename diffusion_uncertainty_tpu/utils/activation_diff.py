@@ -1,0 +1,352 @@
+"""Per-module activation-diff harness for checkpoint converters.
+
+Feeds one fixed input through the reference's *PyTorch* modules (imported from
+the read-only reference tree, used strictly as a numerical oracle) and through
+the converted flax models, and reports the max abs diff per top-level block.
+This catches converter layout bugs (QKV packing, legacy-vs-new attention
+order — ``guided_diffusion/unet_openai.py:329-395`` — scale-shift splits,
+NCHW flatten order) at the *block* where they first diverge, instead of as one
+opaque end-to-end mismatch.
+
+Works with random weights, so it runs in zero-egress environments *now*; when
+real checkpoints land, pass their state dict instead and the same harness
+verifies them one command later (SURVEY.md §7.3.1).
+
+Usage (CPU, a few seconds at the tiny config):
+
+    from diffusion_uncertainty_tpu.utils.activation_diff import adm_block_diffs
+    diffs = adm_block_diffs(ADMUNetConfig.tiny())
+    assert max(d for _, d in diffs) < 1e-4
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+__all__ = [
+    "import_reference",
+    "adm_block_diffs",
+    "uvit_block_diffs",
+    "vae_diffs",
+    "reference_available",
+]
+
+
+def import_reference(module: str, root: str = REFERENCE_ROOT):
+    """Import ``diffusion_uncertainty.<module>`` from the reference tree."""
+    import importlib
+
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    return importlib.import_module(f"diffusion_uncertainty.{module}")
+
+
+def reference_available(root: str = REFERENCE_ROOT) -> bool:
+    import pathlib
+
+    return (pathlib.Path(root) / "diffusion_uncertainty").is_dir()
+
+
+def _to_nhwc(t) -> np.ndarray:
+    a = t.detach().float().numpy()
+    return np.transpose(a, (0, 2, 3, 1)) if a.ndim == 4 else a
+
+
+def _max_diff(a: np.ndarray, b: np.ndarray) -> float:
+    assert a.shape == b.shape, (a.shape, b.shape)
+    return float(np.abs(a - b).max())
+
+
+def adm_block_diffs(
+    cfg=None,
+    batch: int = 2,
+    seed: int = 0,
+    state_dict: Optional[dict] = None,
+    root: str = REFERENCE_ROOT,
+) -> List[Tuple[str, float]]:
+    """[(block_name, max|Δ|)] across every ADM UNet top-level block.
+
+    Builds the reference ``UNetModel`` with the same hparams (random-init
+    unless ``state_dict`` is given), converts its weights with
+    ``convert_adm_unet``, and compares per-block activations:
+    ``input_blocks[i]`` ↔ ``in_{i}_*``, ``middle_block`` ↔ ``mid_res_1``,
+    ``output_blocks[i]`` ↔ ``out_{i}_*``, plus the final epsilon output.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..models import ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_unet
+
+    if cfg is None:
+        cfg = ADMUNetConfig.tiny()
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+
+    torch.manual_seed(seed)
+    ref = unet_openai.UNetModel(
+        image_size=cfg.image_size,
+        in_channels=cfg.in_channels,
+        model_channels=cfg.model_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions,
+        dropout=cfg.dropout,
+        channel_mult=cfg.channel_mult,
+        num_classes=cfg.num_classes,
+        use_checkpoint=False,
+        use_fp16=False,
+        num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+    )
+    if state_dict is not None:
+        ref.load_state_dict({k: torch.as_tensor(v) for k, v in state_dict.items()})
+    ref.eval()
+
+    # capture reference per-block outputs via forward hooks
+    captured: Dict[str, np.ndarray] = {}
+
+    def hook(name):
+        def fn(_mod, _inp, out):
+            captured[name] = _to_nhwc(out)
+
+        return fn
+
+    for i, blk in enumerate(ref.input_blocks):
+        blk.register_forward_hook(hook(f"in_{i}"))
+    ref.middle_block.register_forward_hook(hook("mid"))
+    for i, blk in enumerate(ref.output_blocks):
+        blk.register_forward_hook(hook(f"out_{i}"))
+
+    rs = np.random.RandomState(seed)
+    x = rs.randn(batch, cfg.image_size, cfg.image_size, cfg.in_channels).astype(np.float32)
+    tval = 37
+    y = rs.randint(0, cfg.num_classes, (batch,)) if cfg.num_classes else None
+    with torch.no_grad():
+        t_out = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.full((batch,), tval, dtype=torch.long),
+            y=torch.from_numpy(y) if y is not None else None,
+        )
+    captured["output"] = _to_nhwc(t_out)
+
+    # convert + run flax with intermediates
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_adm_unet(sd, cfg)
+    model = ADMUNet(cfg)
+    out, state = model.apply(
+        params,
+        jnp.asarray(x),
+        jnp.asarray(tval, jnp.int32),
+        jnp.asarray(y) if y is not None else None,
+        capture_intermediates=True,
+        mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+
+    def flax_block(name: str) -> Optional[np.ndarray]:
+        entry = inter.get(name)
+        if entry is None:
+            return None
+        return np.asarray(entry["__call__"][0], np.float32)
+
+    diffs: List[Tuple[str, float]] = []
+    # input_blocks[0] is the stem conv
+    diffs.append(("in_0", _max_diff(captured["in_0"], flax_block("conv_in"))))
+    n_in = len(ref.input_blocks)
+    for i in range(1, n_in):
+        for suffix in ("attn", "res", "down"):
+            val = flax_block(f"in_{i}_{suffix}")
+            if val is not None:
+                diffs.append((f"in_{i}", _max_diff(captured[f"in_{i}"], val)))
+                break
+    diffs.append(("mid", _max_diff(captured["mid"], flax_block("mid_res_1"))))
+    for i in range(len(ref.output_blocks)):
+        for suffix in ("up", "attn", "res"):
+            val = flax_block(f"out_{i}_{suffix}")
+            if val is not None:
+                diffs.append((f"out_{i}", _max_diff(captured[f"out_{i}"], val)))
+                break
+    diffs.append(("output", _max_diff(captured["output"], np.asarray(out, np.float32))))
+    return diffs
+
+
+def uvit_block_diffs(
+    cfg=None,
+    batch: int = 2,
+    seed: int = 0,
+    state_dict: Optional[dict] = None,
+    root: str = REFERENCE_ROOT,
+) -> List[Tuple[str, float]]:
+    """Per-transformer-block diff of the reference U-ViT vs the converted flax
+    one (``uvit/uvit.py:203-231`` skip topology)."""
+    import jax.numpy as jnp
+    import torch
+
+    from ..models import UViT, UViTConfig
+    from ..models.convert import convert_uvit
+
+    if cfg is None:
+        cfg = UViTConfig.tiny()
+    ref_uvit = import_reference("uvit.uvit", root)
+
+    torch.manual_seed(seed)
+    ref = ref_uvit.UViT(
+        img_size=cfg.img_size,
+        patch_size=cfg.patch_size,
+        in_chans=cfg.in_chans,
+        embed_dim=cfg.embed_dim,
+        depth=cfg.depth,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias,
+        mlp_time_embed=cfg.mlp_time_embed,
+        num_classes=cfg.num_classes if cfg.num_classes else -1,
+        conv=cfg.final_conv,
+    )
+    if state_dict is not None:
+        ref.load_state_dict({k: torch.as_tensor(v) for k, v in state_dict.items()})
+    ref.eval()
+
+    captured: Dict[str, np.ndarray] = {}
+
+    def hook(name):
+        def fn(_mod, _inp, out):
+            captured[name] = out.detach().float().numpy()
+
+        return fn
+
+    for i, blk in enumerate(ref.in_blocks):
+        blk.register_forward_hook(hook(f"in_blk_{i}"))
+    ref.mid_block.register_forward_hook(hook("mid_blk"))
+    for i, blk in enumerate(ref.out_blocks):
+        blk.register_forward_hook(hook(f"out_blk_{i}"))
+
+    rs = np.random.RandomState(seed)
+    x = rs.randn(batch, cfg.img_size, cfg.img_size, cfg.in_chans).astype(np.float32)
+    tval = np.full((batch,), 11.0, np.float32)
+    y = rs.randint(0, cfg.num_classes, (batch,)) if cfg.num_classes else None
+    with torch.no_grad():
+        t_out = ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(tval),
+            y=torch.from_numpy(y) if y is not None else None,
+        )
+    captured["output"] = _to_nhwc(t_out)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_uvit(sd, cfg)
+    model = UViT(cfg)
+    out, state = model.apply(
+        params,
+        jnp.asarray(x),
+        jnp.asarray(tval),
+        jnp.asarray(y) if y is not None else None,
+        capture_intermediates=True,
+        mutable=["intermediates"],
+    )
+    inter = state["intermediates"]
+
+    pairs = [(f"in_blk_{i}", f"in_block_{i}") for i in range(len(ref.in_blocks))]
+    pairs += [("mid_blk", "mid_block")]
+    pairs += [(f"out_blk_{i}", f"out_block_{i}") for i in range(len(ref.out_blocks))]
+    diffs: List[Tuple[str, float]] = []
+    for ref_name, flax_name in pairs:
+        entry = inter.get(flax_name)
+        if entry is not None:
+            diffs.append(
+                (ref_name, _max_diff(captured[ref_name], np.asarray(entry["__call__"][0], np.float32)))
+            )
+    diffs.append(("output", _max_diff(captured["output"], np.asarray(out, np.float32))))
+    return diffs
+
+
+def vae_diffs(
+    cfg=None,
+    batch: int = 1,
+    seed: int = 0,
+    state_dict: Optional[dict] = None,
+    root: str = REFERENCE_ROOT,
+) -> List[Tuple[str, float]]:
+    """Encoder-moments + decoder diffs of the KL autoencoder
+    (``uvit/autoencoder.py:412-460``)."""
+    import jax.numpy as jnp
+    import torch
+
+    from ..models import AutoencoderKL, AutoencoderKLConfig
+    from ..models.convert import convert_autoencoder_kl
+
+    if cfg is None:
+        # smallest config the reference accepts: its Normalize is hard-coded
+        # GroupNorm(32) so every width must be a multiple of 32
+        import dataclasses
+
+        cfg = dataclasses.replace(AutoencoderKLConfig.tiny(), ch=32)
+    ref_ae = import_reference("uvit.autoencoder", root)
+
+    size = 8 * (2 ** (len(cfg.ch_mult) - 1))
+    ddconfig = dict(
+        double_z=True,
+        z_channels=cfg.z_channels,
+        resolution=size,
+        in_channels=cfg.in_channels,
+        out_ch=cfg.out_channels,
+        ch=cfg.ch,
+        ch_mult=list(cfg.ch_mult),
+        num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=[],
+        dropout=0.0,
+    )
+    # FrozenAutoencoderKL's ctor force-loads a checkpoint file; compose the
+    # same submodules (same state-dict key layout) without that requirement
+    import torch.nn as tnn
+
+    torch.manual_seed(seed)
+
+    class _RefAE(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = ref_ae.Encoder(**ddconfig)
+            self.decoder = ref_ae.Decoder(**ddconfig)
+            self.quant_conv = tnn.Conv2d(2 * cfg.z_channels, 2 * cfg.embed_dim, 1)
+            self.post_quant_conv = tnn.Conv2d(cfg.embed_dim, cfg.z_channels, 1)
+
+        def encode_moments(self, x):
+            return self.quant_conv(self.encoder(x))
+
+        def decode(self, z):
+            # reference decode: unscale then post_quant + decoder
+            # (``autoencoder.py:446-450``)
+            return self.decoder(self.post_quant_conv(z / cfg.scale_factor))
+
+    ref = _RefAE()
+    if state_dict is not None:
+        ref.load_state_dict({k: torch.as_tensor(v) for k, v in state_dict.items()})
+    ref.eval()
+
+    rs = np.random.RandomState(seed)
+    x = rs.randn(batch, size, size, cfg.in_channels).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        moments = ref.encode_moments(xt)
+        z_scaled = cfg.scale_factor * moments[:, : cfg.embed_dim]  # mean half
+        dec = ref.decode(z_scaled)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_autoencoder_kl(sd, cfg)
+    model = AutoencoderKL(cfg)
+    j_moments = model.apply(params, jnp.asarray(x), "encode_moments")
+    j_dec = model.apply(params, jnp.asarray(np.transpose(z_scaled.numpy(), (0, 2, 3, 1))), "decode")
+    return [
+        ("encode_moments", _max_diff(_to_nhwc(moments), np.asarray(j_moments, np.float32))),
+        ("decode", _max_diff(_to_nhwc(dec), np.asarray(j_dec, np.float32))),
+    ]

@@ -79,3 +79,50 @@ def test_dpm_jittable(sched):
     f = jax.jit(lambda x, k: sample_dpm_solver(model_fn, sched, x, k, cfg).sample)
     out = f(jnp.ones(SHAPE), jax.random.key(8))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(f(jnp.ones(SHAPE), jax.random.key(8))))
+
+
+def test_third_order_runs_and_improves_oracle_accuracy(sched):
+    """Order-3 chain must run finite and track the oracle trajectory at least
+    as well as order-1 at few steps (convergence-order sanity, mirroring the
+    reference's third_order_update path)."""
+    import dataclasses
+
+    # oracle score for x0 target 0: eps(x,t) = x / sqrt(1 - ab_t) drives x to 0
+    def model_fn(x, t, key):
+        ab = sched.alpha_bar(t)
+        return x / jnp.sqrt(jnp.maximum(1.0 - ab, 1e-8))
+
+    xT = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    errs = {}
+    for order in (1, 2, 3):
+        cfg = DPMSolverConfig(num_inference_steps=8, solver_order=order, lower_order_final=True)
+        res = sample_dpm_solver(model_fn, sched, xT, jax.random.key(1), cfg)
+        x = np.asarray(res.sample)
+        assert np.isfinite(x).all(), order
+        errs[order] = float(np.abs(x).mean())
+    # with an exact-score oracle all orders drive x near 0; the higher orders
+    # must not blow up and should not be wildly worse than order 1
+    assert errs[3] <= 5 * errs[1] + 1e-4, errs
+
+
+def test_order_table_warmup_and_tail():
+    from diffusion_uncertainty_tpu.diffusion.dpm_solver import _tables
+    from diffusion_uncertainty_tpu.diffusion.schedule import make_schedule
+
+    sched = make_schedule("linear", 1000)
+    cfg = DPMSolverConfig(num_inference_steps=10, solver_order=3)
+    *_, order = _tables(sched, cfg)
+    # warmup: 1, 2 then 3s; zero terminal sigma forces order-1 (and 2) tail
+    assert list(order[:3]) == [1, 2, 3]
+    assert order[-1] == 1 and order[-2] == 2
+
+
+def test_third_order_with_centered_estimator(sched):
+    from diffusion_uncertainty_tpu.uncertainty import EstimatorConfig, make_estimator
+
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=2))
+    cfg = DPMSolverConfig(num_inference_steps=8, solver_order=3, after_step=3, num_steps_uc=2)
+    res = sample_dpm_solver(lambda x, t, k: 0.1 * x, sched, jnp.ones((2, 8, 8, 3)),
+                            jax.random.key(2), cfg, estimator=est)
+    assert res.uncertainty.shape[0] == 2
+    assert np.isfinite(np.asarray(res.uncertainty)).all()

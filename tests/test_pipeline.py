@@ -216,3 +216,49 @@ def test_npz_images_dataset(tmp_path):
     assert rec["image"].shape == (8, 8, 3)
     assert 0.0 <= rec["image"].max() <= 1.0
     assert rec["label"] == int(labels[0])
+
+
+def test_plot_pr_curve(root, bundle):
+    from dataclasses import dataclass
+
+    from diffusion_uncertainty_tpu.scripts.compute_precision_recall import main as pr_main
+    from diffusion_uncertainty_tpu.scripts.plot_results import main as plot_main
+
+    @dataclass
+    class Meta:
+        dataset: str = "tiny"
+        scheduler_type: str = "uncertainty_centered"
+
+    run_dir = new_run_dir(config=Meta())
+    _gen(bundle, run_dir=run_dir, keep=False)
+    # cache a (random-extractor) real manifold, then plot grouped P&R
+    pr_main(["--mode", "real", "--dataset", "tiny", "--num-samples", "12", "--batch-size", "6"])
+    out = plot_main([
+        "--kind", "pr_curve", "--run-dir", str(run_dir), "--dataset", "tiny",
+        "--group-size", "4", "--num-groups", "2", "--k", "2",
+    ])
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_sd_grids(root):
+    import yaml
+    from PIL import Image
+
+    from diffusion_uncertainty_tpu.scripts.plot_results import main as plot_main
+    from diffusion_uncertainty_tpu.utils import paths
+
+    base = paths.ensure(paths.sd_uncertainty_guidance())
+    rng = np.random.RandomState(0)
+    for i, (prompt, perc) in enumerate(
+        [("a cat", 0.9), ("a cat", 0.95), ("a dog", 0.9), ("a dog", 0.95)]
+    ):
+        d = base / str(i)
+        d.mkdir()
+        (d / "args.yaml").write_text(yaml.safe_dump({"prompt": prompt, "percentile": perc}))
+        for name in ("output_sd_uc.png", "output_sd.png"):
+            Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(d / name)
+
+    out = plot_main(["--kind", "sd_prompt_grid"])
+    assert out.exists() and out.stat().st_size > 0
+    out2 = plot_main(["--kind", "sd_row", "--prompt", "a cat", "--out", str(base / "row.png")])
+    assert out2.exists() and out2.stat().st_size > 0
