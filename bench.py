@@ -150,13 +150,90 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chun
     }
 
 
+def run_uvit(batch: int = 64) -> dict:
+    """Secondary metric: U-ViT-huge ImageNet-256 latent sampling (random init,
+    50-step DDIM, M=5 centered window) — imgs/sec/chip at the real 501M config
+    (``uvit/load_pretrained_models.py:34-37``)."""
+    from diffusion_uncertainty_tpu.models import UViT, UViTConfig
+
+    cfg_m = dataclasses.replace(UViTConfig.imagenet256(), dtype=jnp.bfloat16)
+    model = UViT(cfg_m)
+    z = cfg_m.img_size
+    x = jnp.zeros((batch, z, z, cfg_m.in_chans), jnp.bfloat16)
+    t = jnp.asarray(500, jnp.int32)
+    y = jnp.zeros((batch,), jnp.int32)
+    log(f"[uvit256] initializing ({batch=})...")
+    shapes = jax.eval_shape(lambda k: model.init(k, x, t, y), jax.random.key(0))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def materialize(key):
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(
+            treedef,
+            [
+                (0.02 * jax.random.normal(k, s.shape, s.dtype)).astype(
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+                )
+                for k, s in zip(keys, leaves)
+            ],
+        )
+
+    params = materialize(jax.random.key(0))
+    log(f"[uvit256] params: {sum(p.size for p in jax.tree.leaves(params))/1e6:.1f}M")
+
+    def model_fn_of(p):
+        return lambda xx, tt, key: model.apply(p, xx, tt, y)
+
+    fwd = jax.jit(lambda p, xx: model_fn_of(p)(xx, t, None))
+    cost = fwd.lower(params, x).cost_analysis() or {}
+    flops_fwd = float(cost.get("flops", 0.0)) / batch
+    log(f"[uvit256] forward: {flops_fwd/1e9:.1f} GFLOP/image")
+
+    schedule = make_schedule("scaled_linear", 1000, 0.00085, 0.012)
+    scfg = SamplerConfig(num_inference_steps=STEPS, after_step=AFTER_STEP, num_steps_uc=NUM_STEPS_UC)
+    est = make_estimator(EstimatorConfig(name="uncertainty_centered", M=M))
+    sample_jit = jax.jit(
+        lambda p, xT, key: sample_ddim(model_fn_of(p), schedule, xT, key, scfg, estimator=est),
+        donate_argnums=(1,),
+    )
+
+    def new_x(i):
+        return jax.random.normal(jax.random.key(30 + i), (batch, z, z, cfg_m.in_chans), jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    res = sample_jit(params, new_x(0), jax.random.key(3))
+    jax.block_until_ready(res.sample)
+    log(f"[uvit256] compile+first run: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = sample_jit(params, new_x(i + 1), jax.random.key(40 + i))
+        jax.block_until_ready(res.sample)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = batch / best
+    # 50 plain + 10·M ensemble forwards per image (centered, no zigzag)
+    forwards = STEPS + NUM_STEPS_UC * M
+    tflops = forwards * flops_fwd * imgs_per_sec / 1e12
+    log(
+        f"[uvit256] batch {batch}: {best:.2f}s -> {imgs_per_sec:.3f} imgs/sec/chip "
+        f"({tflops:.1f} TFLOP/s sustained)"
+    )
+    return {
+        "uvit256_imgs_per_sec_chip": round(imgs_per_sec, 4),
+        "uvit256_sustained_tflops": round(tflops, 2),
+    }
+
+
 def main() -> None:
     full = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
     half = dataclasses.replace(ADMUNetConfig.imagenet128(), model_channels=128, dtype=jnp.bfloat16)
     configs = [
-        # batch 32 with a fully-vmapped ensemble OOMs HBM (window batch 160 at
-        # 128²); sequential zigzag members (ensemble_chunk=1) cap the live
-        # batch at 32 and ride the better batch-32 MXU efficiency
+        # sequential zigzag members (ensemble_chunk=1) cap the live batch at
+        # the image batch, so batch 64 fits where the fully-vmapped ensemble
+        # (window batch 320) OOMs — and rides the best MXU efficiency point
+        (full, "imagenet128", 64, 1),
         (full, "imagenet128", 32, 1),
         (full, "imagenet128", 16, 0),
         (full, "imagenet128", 8, 0),
@@ -166,7 +243,18 @@ def main() -> None:
     last_err = None
     for cfg_m, tag, batch, chunk in configs:
         try:
-            print(json.dumps(run_config(cfg_m, tag, batch, chunk)))
+            result = run_config(cfg_m, tag, batch, chunk)
+            # secondary metric (VERDICT r1 #6): U-ViT-huge on hardware; its
+            # failure must not cost the headline line
+            try:
+                import gc
+
+                jax.clear_caches()
+                gc.collect()
+                result.update(run_uvit())
+            except Exception as e:  # noqa: BLE001
+                log(f"[uvit256] FAILED: {type(e).__name__}: {e}")
+            print(json.dumps(result))
             return
         except Exception as e:  # noqa: BLE001 — must emit a line regardless
             last_err = e

@@ -116,7 +116,8 @@ def build_sd_stack(cfg: Config):
             )
 
         def decode(z):
-            return ae.apply(aparams, z / 0.18215, "decode")
+            # AutoencoderKL.decode unscales by cfg.scale_factor internally
+            return ae.apply(aparams, z, "decode")
 
     return model, params, make_denoise_fn, decode, schedule, latent_size, mcfg
 
