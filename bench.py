@@ -188,6 +188,12 @@ def run_uvit(batch: int = 64) -> dict:
     fwd = jax.jit(lambda p, xx: model_fn_of(p)(xx, t, None))
     cost = fwd.lower(params, x).cost_analysis() or {}
     flops_fwd = float(cost.get("flops", 0.0)) / batch
+    if not flops_fwd:
+        # analytic fallback (cost_analysis returns nothing through the relay):
+        # per token per block ≈ 12·D² matmul MACs + attention 2·S·D
+        d, s = cfg_m.embed_dim, 2 + (cfg_m.img_size // cfg_m.patch_size) ** 2
+        blocks = cfg_m.depth + 1
+        flops_fwd = 2.0 * blocks * s * (12 * d * d + 2 * s * d)
     log(f"[uvit256] forward: {flops_fwd/1e9:.1f} GFLOP/image")
 
     schedule = make_schedule("scaled_linear", 1000, 0.00085, 0.012)
@@ -226,58 +232,85 @@ def run_uvit(batch: int = 64) -> dict:
     }
 
 
-def main() -> None:
-    full = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
-    half = dataclasses.replace(ADMUNetConfig.imagenet128(), model_channels=128, dtype=jnp.bfloat16)
-    configs = [
-        # sequential zigzag members (ensemble_chunk=1) cap the live batch at
-        # the image batch, so batch 64 fits where the fully-vmapped ensemble
-        # (window batch 320) OOMs — and rides the best MXU efficiency point
-        (full, "imagenet128", 64, 1),
-        (full, "imagenet128", 32, 1),
-        (full, "imagenet128", 16, 0),
-        (full, "imagenet128", 8, 0),
-        # last resort: half width — only if the relay cannot compile the 421M program
-        (half, "imagenet128_halfwidth_fallback", 8, 0),
-    ]
-    last_err = None
-    for cfg_m, tag, batch, chunk in configs:
-        try:
-            result = run_config(cfg_m, tag, batch, chunk)
-            # secondary metric (VERDICT r1 #6): U-ViT-huge on hardware; its
-            # failure must not cost the headline line
-            try:
-                import gc
+_CONFIGS = {
+    # tag -> (model_channels_override, batch, ensemble_chunk)
+    # sequential zigzag members (ensemble_chunk=1) cap the live batch at the
+    # image batch, so large batches fit where the fully-vmapped ensemble OOMs
+    "b64": (None, 64, 1),
+    "b32": (None, 32, 1),
+    "b16": (None, 16, 0),
+    "b8": (None, 8, 0),
+    # last resort: half width — only if the relay cannot compile the 421M program
+    "half": (128, 8, 0),
+}
 
-                jax.clear_caches()
-                gc.collect()
-                result.update(run_uvit())
-            except Exception as e:  # noqa: BLE001
-                log(f"[uvit256] FAILED: {type(e).__name__}: {e}")
-            print(json.dumps(result))
-            return
-        except Exception as e:  # noqa: BLE001 — must emit a line regardless
-            last_err = e
-            log(f"[{tag}] FAILED: {type(e).__name__}: {e}")
-            traceback.print_exc(file=sys.stderr)
-            # drop compiled executables + live buffers so the next attempt
-            # starts with a clean HBM (a failed attempt otherwise leaks its
-            # 1.7GB param tree into the fallback's budget)
-            import gc
 
-            jax.clear_caches()
-            gc.collect()
-    print(
-        json.dumps(
-            {
-                "metric": "imagenet128_50step_M5_zigzag_uncertainty_sampling",
-                "value": 0.0,
-                "unit": "images/sec/chip",
-                "vs_baseline": 0.0,
-                "error": f"{type(last_err).__name__}: {last_err}",
-            }
+def run_single(name: str) -> None:
+    """Child-process entry: run ONE config and print its JSON line.
+
+    A TPU device fault (OOM'd kernel, relay failure) poisons the whole
+    process — every later attempt in the same process fails UNAVAILABLE — so
+    the parent isolates each attempt in its own process."""
+    if name == "uvit":
+        print(json.dumps(run_uvit()))
+        return
+    mc, batch, chunk = _CONFIGS[name]
+    cfg = ADMUNetConfig.imagenet128()
+    tag = "imagenet128" if mc is None else "imagenet128_halfwidth_fallback"
+    if mc is not None:
+        cfg = dataclasses.replace(cfg, model_channels=mc)
+    cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    print(json.dumps(run_config(cfg, tag, batch, chunk)))
+
+
+def _run_child(name: str, timeout: float) -> dict | None:
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", name],
+            capture_output=True, text=True, timeout=timeout,
         )
-    )
+    except subprocess.TimeoutExpired:
+        log(f"[{name}] child timed out after {timeout:.0f}s")
+        return None
+    sys.stderr.write(proc.stderr)
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    log(f"[{name}] child rc={proc.returncode}, no JSON line")
+    return None
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        run_single(sys.argv[2])
+        return
+    result = None
+    for name in ("b64", "b32", "b16", "b8", "half"):
+        result = _run_child(name, timeout=4800)
+        if result is not None:
+            break
+    if result is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "imagenet128_50step_M5_zigzag_uncertainty_sampling",
+                    "value": 0.0,
+                    "unit": "images/sec/chip",
+                    "vs_baseline": 0.0,
+                    "error": "all configs failed (see stderr)",
+                }
+            )
+        )
+        return
+    # secondary metric (VERDICT r1 #6): U-ViT-huge on hardware; its failure
+    # must not cost the headline line
+    extra = _run_child("uvit", timeout=3600)
+    if extra:
+        result.update(extra)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -9,5 +9,7 @@ PyTorch state dicts live in ``convert.py``.
 from .adm_unet import ADMUNet, ADMUNetConfig, ADMClassifier, ADMClassifierConfig  # noqa: F401
 from .unet2d import UNet2D, UNet2DConfig  # noqa: F401
 from .sd_unet import SDUNet, SDUNetConfig  # noqa: F401
+from .mmdit import MMDiT, MMDiTConfig  # noqa: F401
+from .flux import FluxTransformer, FluxConfig  # noqa: F401
 from .uvit import UViT, UViTConfig  # noqa: F401
 from .autoencoder import AutoencoderKL, AutoencoderKLConfig  # noqa: F401

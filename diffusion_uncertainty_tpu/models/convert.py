@@ -45,6 +45,8 @@ __all__ = [
     "convert_adm_classifier",
     "convert_unet2d",
     "convert_sd_unet",
+    "convert_sd3_mmdit",
+    "convert_flux",
     "convert_uvit",
     "convert_autoencoder_kl",
 ]
@@ -447,6 +449,126 @@ def convert_sd_unet(state_dict: dict, cfg) -> dict:
     P["out_norm_scale"] = sd.take("conv_norm_out.weight")
     P["out_norm_bias"] = sd.take("conv_norm_out.bias")
     P["conv_out"] = _conv(sd, "conv_out")
+    sd.finish()
+    return {"params": P}
+
+
+# ---------------------------------------------------------------------------
+# SD3 MMDiT (diffusers SD3Transformer2DModel)
+# ---------------------------------------------------------------------------
+
+
+def convert_sd3_mmdit(state_dict: dict, cfg) -> dict:
+    """diffusers ``SD3Transformer2DModel`` → flax ``MMDiT`` params. The last
+    transformer block is ``context_pre_only`` (AdaLN-Continuous context norm,
+    no context attention output / FF)."""
+    sd = _SD(state_dict)
+    P: dict = {
+        "patch_embed": {
+            "kernel": sd.take("pos_embed.proj.weight").transpose(2, 3, 1, 0),
+            "bias": sd.take("pos_embed.proj.bias"),
+        },
+        "pos_embed": sd.take("pos_embed.pos_embed").reshape(1, cfg.pos_embed_max_size**2, cfg.dim),
+        "time_text_embed": {
+            "timestep_dense_0": _dense(sd, "time_text_embed.timestep_embedder.linear_1"),
+            "timestep_dense_1": _dense(sd, "time_text_embed.timestep_embedder.linear_2"),
+            "text_dense_0": _dense(sd, "time_text_embed.text_embedder.linear_1"),
+            "text_dense_1": _dense(sd, "time_text_embed.text_embedder.linear_2"),
+        },
+        "context_embedder": _dense(sd, "context_embedder"),
+        "norm_out_linear": _dense(sd, "norm_out.linear"),
+        "proj_out": _dense(sd, "proj_out"),
+    }
+    for i in range(cfg.num_layers):
+        t = f"transformer_blocks.{i}"
+        last = i == cfg.num_layers - 1
+        blk = {
+            "norm1_linear": _dense(sd, f"{t}.norm1.linear"),
+            "norm1_context_linear": _dense(sd, f"{t}.norm1_context.linear"),
+            "to_q": _dense(sd, f"{t}.attn.to_q"),
+            "to_k": _dense(sd, f"{t}.attn.to_k"),
+            "to_v": _dense(sd, f"{t}.attn.to_v"),
+            "add_q_proj": _dense(sd, f"{t}.attn.add_q_proj"),
+            "add_k_proj": _dense(sd, f"{t}.attn.add_k_proj"),
+            "add_v_proj": _dense(sd, f"{t}.attn.add_v_proj"),
+            "to_out": _dense(sd, f"{t}.attn.to_out.0"),
+            "ff_proj": _dense(sd, f"{t}.ff.net.0.proj"),
+            "ff_out": _dense(sd, f"{t}.ff.net.2"),
+        }
+        if cfg.qk_norm == "rms_norm":
+            blk["qk_norm"] = {
+                "q_scale": sd.take(f"{t}.attn.norm_q.weight"),
+                "k_scale": sd.take(f"{t}.attn.norm_k.weight"),
+            }
+            blk["qk_norm_added"] = {
+                "added_q_scale": sd.take(f"{t}.attn.norm_added_q.weight"),
+                "added_k_scale": sd.take(f"{t}.attn.norm_added_k.weight"),
+            }
+        if not last:
+            blk["to_add_out"] = _dense(sd, f"{t}.attn.to_add_out")
+            blk["ff_context_proj"] = _dense(sd, f"{t}.ff_context.net.0.proj")
+            blk["ff_context_out"] = _dense(sd, f"{t}.ff_context.net.2")
+        P[f"block_{i}"] = blk
+    sd.finish()
+    return {"params": P}
+
+
+# ---------------------------------------------------------------------------
+# Flux (diffusers FluxTransformer2DModel)
+# ---------------------------------------------------------------------------
+
+
+def convert_flux(state_dict: dict, cfg) -> dict:
+    """diffusers ``FluxTransformer2DModel`` → flax ``FluxTransformer`` params
+    (19 double + 38 single blocks, RMS-normed q/k everywhere)."""
+    sd = _SD(state_dict)
+    P: dict = {
+        "x_embedder": _dense(sd, "x_embedder"),
+        "context_embedder": _dense(sd, "context_embedder"),
+        "timestep_dense_0": _dense(sd, "time_text_embed.timestep_embedder.linear_1"),
+        "timestep_dense_1": _dense(sd, "time_text_embed.timestep_embedder.linear_2"),
+        "text_dense_0": _dense(sd, "time_text_embed.text_embedder.linear_1"),
+        "text_dense_1": _dense(sd, "time_text_embed.text_embedder.linear_2"),
+        "norm_out_linear": _dense(sd, "norm_out.linear"),
+        "proj_out": _dense(sd, "proj_out"),
+    }
+    if cfg.guidance_embeds:
+        P["guidance_dense_0"] = _dense(sd, "time_text_embed.guidance_embedder.linear_1")
+        P["guidance_dense_1"] = _dense(sd, "time_text_embed.guidance_embedder.linear_2")
+    for i in range(cfg.num_layers):
+        t = f"transformer_blocks.{i}"
+        P[f"block_{i}"] = {
+            "norm1_linear": _dense(sd, f"{t}.norm1.linear"),
+            "norm1_context_linear": _dense(sd, f"{t}.norm1_context.linear"),
+            "to_q": _dense(sd, f"{t}.attn.to_q"),
+            "to_k": _dense(sd, f"{t}.attn.to_k"),
+            "to_v": _dense(sd, f"{t}.attn.to_v"),
+            "q_scale": sd.take(f"{t}.attn.norm_q.weight"),
+            "k_scale": sd.take(f"{t}.attn.norm_k.weight"),
+            "add_q_proj": _dense(sd, f"{t}.attn.add_q_proj"),
+            "add_k_proj": _dense(sd, f"{t}.attn.add_k_proj"),
+            "add_v_proj": _dense(sd, f"{t}.attn.add_v_proj"),
+            "added_q_scale": sd.take(f"{t}.attn.norm_added_q.weight"),
+            "added_k_scale": sd.take(f"{t}.attn.norm_added_k.weight"),
+            "to_out": _dense(sd, f"{t}.attn.to_out.0"),
+            "to_add_out": _dense(sd, f"{t}.attn.to_add_out"),
+            "ff_proj": _dense(sd, f"{t}.ff.net.0.proj"),
+            "ff_out": _dense(sd, f"{t}.ff.net.2"),
+            "ff_context_proj": _dense(sd, f"{t}.ff_context.net.0.proj"),
+            "ff_context_out": _dense(sd, f"{t}.ff_context.net.2"),
+        }
+    for i in range(cfg.num_single_layers):
+        t = f"single_transformer_blocks.{i}"
+        P[f"single_block_{i}"] = {
+            "norm_linear": _dense(sd, f"{t}.norm.linear"),
+            "to_q": _dense(sd, f"{t}.attn.to_q"),
+            "to_k": _dense(sd, f"{t}.attn.to_k"),
+            "to_v": _dense(sd, f"{t}.attn.to_v"),
+            "q_scale": sd.take(f"{t}.attn.norm_q.weight"),
+            "k_scale": sd.take(f"{t}.attn.norm_k.weight"),
+            "proj_mlp": _dense(sd, f"{t}.proj_mlp"),
+            "proj_out": _dense(sd, f"{t}.proj_out"),
+        }
     sd.finish()
     return {"params": P}
 

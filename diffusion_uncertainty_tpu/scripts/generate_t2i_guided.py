@@ -44,7 +44,7 @@ class Config:
     use_posterior: bool = False
     strength: float = 0.99  # reference --strength -> guidance lr
     # model plumbing (this framework)
-    model: str = "sd15"  # sd15 | sd21 | tiny (tests)
+    model: str = "sd15"  # sd15 | sd21 | tiny | sd3 | sd3-tiny | flux | flux-tiny
     guidance_scale: float = 7.5
     M: int = 5
     unet_weights: Optional[str] = None  # diffusers UNet state dict (torch file)
@@ -122,6 +122,127 @@ def build_sd_stack(cfg: Config):
     return model, params, make_denoise_fn, decode, schedule, latent_size, mcfg
 
 
+def run_flow_match_family(cfg: Config) -> int:
+    """SD3 (MMDiT) / Flux flow-matching path — parity with the reference's
+    ``generate_with_uncertainty_threshold_stable_diffusion_3.py`` and
+    ``generate_with_uncertainty_threshold_flux.py`` (same numbered-folder +
+    args.yaml + guided/plain PNG-pair protocol as the SD1.5 script)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from ..diffusion.flow_match import FlowMatchConfig, sample_flow_match
+    from ..models.convert import convert_flux, convert_sd3_mmdit, load_torch_state_dict
+    from ..pipelines.text_encoder import pseudo_text_embeddings
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    is_flux = cfg.model.startswith("flux")
+    tiny = cfg.model.endswith("tiny")
+
+    if is_flux:
+        from ..models import FluxConfig, FluxTransformer
+
+        mcfg = FluxConfig.tiny() if tiny else dc.replace(FluxConfig.flux_dev(), dtype=dtype)
+        model = FluxTransformer(mcfg)
+        latent_size = 8 if tiny else cfg.height // 8
+        channels = mcfg.in_channels
+        convert = convert_flux
+    else:
+        from ..models import MMDiT, MMDiTConfig
+
+        mcfg = MMDiTConfig.tiny() if tiny else dc.replace(MMDiTConfig.sd3_medium(), dtype=dtype)
+        model = MMDiT(mcfg)
+        latent_size = mcfg.sample_size if tiny else cfg.height // 8
+        channels = mcfg.in_channels
+        convert = convert_sd3_mmdit
+
+    b = 1
+    ctx = jnp.asarray(pseudo_text_embeddings([cfg.prompt], seq_len=16, dim=mcfg.joint_attention_dim))
+    pooled = jnp.asarray(
+        pseudo_text_embeddings([cfg.prompt], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
+    )
+    uncond_ctx = jnp.asarray(
+        pseudo_text_embeddings([cfg.prompt_negative], seq_len=16, dim=mcfg.joint_attention_dim)
+    )
+    uncond_pooled = jnp.asarray(
+        pseudo_text_embeddings([cfg.prompt_negative], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
+    )
+
+    x0 = jnp.zeros((b, latent_size, latent_size, channels))
+    if cfg.unet_weights:
+        params = convert(load_torch_state_dict(cfg.unet_weights), mcfg)
+    elif cfg.random_init or tiny:
+        g0 = jnp.asarray(1000.0) if is_flux and mcfg.guidance_embeds else None
+        if is_flux:
+            params = model.init(jax.random.key(0), x0, jnp.asarray(1.0), ctx, pooled, g0)
+        else:
+            params = model.init(jax.random.key(0), x0, jnp.asarray(1.0), ctx, pooled)
+    else:
+        raise SystemExit("need --unet-weights or --random-init true (no network egress)")
+
+    def velocity_fn(p):
+        if is_flux:
+            g = jnp.asarray(cfg.guidance_scale * 1000.0) if mcfg.guidance_embeds else None
+
+            def fn(x, t, key):
+                return model.apply(p, x, t, ctx, pooled, g)
+
+        else:
+            scale = cfg.guidance_scale
+
+            def fn(x, t, key):
+                if scale <= 1.0:
+                    return model.apply(p, x, t, ctx, pooled)
+                x2 = jnp.concatenate([x, x], axis=0)
+                c2 = jnp.concatenate([uncond_ctx, ctx], axis=0)
+                p2 = jnp.concatenate([uncond_pooled, pooled], axis=0)
+                v2 = model.apply(p, x2, t, c2, p2)
+                vu, vc = jnp.split(v2, 2, axis=0)
+                return vu + scale * (vc - vu)
+
+        return fn
+
+    fm = FlowMatchConfig(
+        num_inference_steps=cfg.num_steps,
+        shift=3.0,
+        after_step=cfg.start_step_threshold,
+        num_steps_uc=cfg.num_steps_threshold,
+        M=cfg.M,
+        percentile=cfg.percentile,
+        use_posterior=cfg.use_posterior,
+        lr=cfg.strength,
+    )
+    base_dir = (
+        paths.flux_uncertainty_guidance() if is_flux else paths.sd3_uncertainty_guidance()
+    )
+    base = paths.ensure(base_dir if cfg.out_dir is None else __import__("pathlib").Path(cfg.out_dir))
+    i = 0
+    while (base / f"{i}").exists():
+        i += 1
+    dest = base / f"{i}"
+    dest.mkdir()
+    with open(dest / "args.yaml", "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)
+
+    vf = velocity_fn(params)
+    xT = jax.random.normal(jax.random.key(cfg.seed), x0.shape)
+    res = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), fm)
+    save_png(dest / ("output_flux_uc.png" if is_flux else "output_sd3_uc.png"),
+             np.asarray(res.sample[..., :3]))
+    if res.uncertainty is not None:
+        np.savez(dest / "uncertainty.npz", data=np.asarray(res.uncertainty))
+
+    if not cfg.skip_original:
+        plain = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), dc.replace(fm, num_steps_uc=0))
+        save_png(dest / ("output_flux.png" if is_flux else "output_sd3.png"),
+                 np.asarray(plain.sample[..., :3]))
+    log.info("saved to %s", dest)
+    print(f"Saved to {dest}")
+    return 0
+
+
 def save_png(path, images: np.ndarray) -> None:
     """[B,H,W,3] float in [-1,1] -> horizontal-grid PNG (PIL, host)."""
     from PIL import Image
@@ -140,6 +261,8 @@ def main(argv=None) -> int:
     from ..pipelines.text_to_image import T2IPipelineConfig, TextToImageUncertaintyPipeline
 
     cfg = parse_config(Config, argv, defaults={})
+    if cfg.model.startswith(("sd3", "flux")):
+        return run_flow_match_family(cfg)
     model, params, make_denoise_fn, decode, schedule, latent_size, mcfg = build_sd_stack(cfg)
 
     cond, uncond = encode_prompts(

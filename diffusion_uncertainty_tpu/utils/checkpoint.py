@@ -43,7 +43,14 @@ def load_params(path: Path, template: Optional[Any] = None) -> Any:
 
         restore_args = jax.tree.map(_restore_arg, template)
         return _checkpointer().restore(path, item=template, restore_args=restore_args)
-    return _checkpointer().restore(path)
+    # No template: derive the tree from checkpoint metadata and restore every
+    # leaf to the default device explicitly (otherwise orbax warns about
+    # missing sharding info on every restore).
+    ckptr = _checkpointer()
+    tree = ckptr.metadata(path).item_metadata.tree
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    restore_args = jax.tree.map(lambda _m: ocp.ArrayRestoreArgs(sharding=sharding), tree)
+    return ckptr.restore(path, restore_args=restore_args)
 
 
 def latest_step(base: Path) -> Optional[Path]:

@@ -76,3 +76,13 @@ def sd_uncertainty_guidance() -> Path:
     """Numbered output folders of the T2I guided-generation script (ref
     ``STABLE_DIFFUSION_UNCERTAINTY_GUIDANCE``, ``paths.py``)."""
     return results() / "stable-diffusion-uncertainty-guidance"
+
+
+def sd3_uncertainty_guidance() -> Path:
+    """Ref ``STABLE_DIFFUSION_3_UNCERTAINTY_GUIDANCE`` (``paths.py:28``)."""
+    return results() / "stable-diffusion-3-uncertainty-guidance"
+
+
+def flux_uncertainty_guidance() -> Path:
+    """Ref ``FLUX_UNCERTAINTY_GUIDANCE`` (``paths.py:32``)."""
+    return results() / "flux-uncertainty-guidance"

@@ -141,3 +141,45 @@ def test_finetune_noise_cli(root):
         "--epochs", "1", "--steps-per-epoch", "2", "--batch-size", "2", "--M", "2",
     ])
     assert any(out.glob("ckpt_epoch0/**/*")) or (out / "ckpt_epoch0").exists()
+
+
+def test_generate_t2i_guided_tiny_sd(root):
+    """SD1.5-family script end-to-end at the tiny config (guided + plain PNGs,
+    numbered run dir, args.yaml — ref generate_with_uncertainty_threshold_
+    stable_diffusion.py:44-74 protocol)."""
+    pytest.importorskip("PIL")
+    from diffusion_uncertainty_tpu.scripts.generate_t2i_guided import main
+    from diffusion_uncertainty_tpu.utils import paths
+
+    rc = main([
+        "--model", "tiny", "--random-init", "true", "--num-steps", "6",
+        "--start-step-threshold", "2", "--num-steps-threshold", "2",
+        "--M", "2", "--dtype", "float32",
+    ])
+    assert rc == 0
+    run = paths.sd_uncertainty_guidance() / "0"
+    assert (run / "output_sd_uc.png").exists()
+    assert (run / "output_sd.png").exists()
+    assert (run / "args.yaml").exists()
+    assert (run / "uncertainty.npz").exists()
+
+
+@pytest.mark.parametrize("model,stem", [("sd3-tiny", "sd3"), ("flux-tiny", "flux")])
+def test_generate_t2i_guided_flow_match_family(root, model, stem):
+    """SD3/Flux flow-matching script paths (ref generate_with_uncertainty_
+    threshold_stable_diffusion_3.py / _flux.py)."""
+    pytest.importorskip("PIL")
+    from diffusion_uncertainty_tpu.scripts.generate_t2i_guided import main
+    from diffusion_uncertainty_tpu.utils import paths
+
+    rc = main([
+        "--model", model, "--random-init", "true", "--num-steps", "6",
+        "--start-step-threshold", "2", "--num-steps-threshold", "2",
+        "--M", "2", "--dtype", "float32",
+    ])
+    assert rc == 0
+    base = paths.sd3_uncertainty_guidance() if stem == "sd3" else paths.flux_uncertainty_guidance()
+    run = base / "0"
+    assert (run / f"output_{stem}_uc.png").exists()
+    assert (run / f"output_{stem}.png").exists()
+    assert (run / "uncertainty.npz").exists()
