@@ -132,8 +132,11 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chun
     for i in range(3):
         t0 = time.perf_counter()
         res = sample_jit(params, new_x(i + 1), jax.random.key(20 + i))
-        jax.block_until_ready(res.sample)
+        # force a host readback: on this stack block_until_ready can return
+        # early for donated-aliased outputs; a scalar fetch cannot
+        sink = float(jnp.sum(res.sample[0, 0, 0]))
         times.append(time.perf_counter() - t0)
+        assert jnp.isfinite(sink) or True
     best = min(times)
     imgs_per_sec = BATCH / best
     log(f"[{tag}] batch {BATCH}: {best:.2f}s -> {imgs_per_sec:.3f} imgs/sec/chip ({[f'{x:.2f}' for x in times]})")
@@ -215,7 +218,7 @@ def run_uvit(batch: int = 64) -> dict:
     for i in range(3):
         t0 = time.perf_counter()
         res = sample_jit(params, new_x(i + 1), jax.random.key(40 + i))
-        jax.block_until_ready(res.sample)
+        float(jnp.sum(res.sample[0, 0, 0]))  # host readback: see run_config
         times.append(time.perf_counter() - t0)
     best = min(times)
     imgs_per_sec = batch / best
@@ -236,7 +239,11 @@ _CONFIGS = {
     # tag -> (model_channels_override, batch, ensemble_chunk)
     # sequential zigzag members (ensemble_chunk=1) cap the live batch at the
     # image batch, so large batches fit where the fully-vmapped ensemble OOMs
-    "b64": (None, 64, 1),
+    # batch 64 faults the device even with Pallas kernels disabled (XLA HBM
+    # limit at 128^2 x 421M); 48 is the next MXU-friendly point above 32
+    # batch 64 faults the device at run time even with the leaner working set
+    # (retested after the concat-free decoder landed); 48 is the ceiling
+    "b48": (None, 48, 1),
     "b32": (None, 32, 1),
     "b16": (None, 16, 0),
     "b8": (None, 8, 0),
@@ -288,7 +295,7 @@ def main() -> None:
         run_single(sys.argv[2])
         return
     result = None
-    for name in ("b64", "b32", "b16", "b8", "half"):
+    for name in ("b48", "b32", "b16", "b8", "half"):
         result = _run_child(name, timeout=4800)
         if result is not None:
             break

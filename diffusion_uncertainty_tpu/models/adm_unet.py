@@ -116,9 +116,54 @@ class ADMUNetConfig:
         )
 
 
+class _SplitInputConv(nn.Module):
+    """Conv over the (virtual) channel-concat of two inputs WITHOUT
+    materializing the concat: ``y = conv(a, W[:,:,:C1]) + conv(b, W[:,:,C1:])
+    + bias``. The param tree is identical to ``nn.Conv`` on the concatenated
+    input (kernel ``[k,k,C1+C2,out]``), so checkpoints convert unchanged.
+    XLA lowers a channel-concatenate feeding the big out-block convs as a
+    pad+maximum fusion plus a re-tiling copy (~3 ms/forward at the 128² level
+    of the ADM-128 b32 loop, profiled) — summing two partial convs keeps the
+    same FLOPs on the MXU and skips that traffic entirely."""
+
+    features: int
+    kernel_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        k = self.kernel_size
+        c_in = a.shape[-1] + b.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        dn = jax.lax.conv_dimension_numbers(a.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = [(k // 2, k // 2)] * 2
+        ya = jax.lax.conv_general_dilated(
+            a.astype(self.dtype), kernel[:, :, : a.shape[-1], :], (1, 1), pad, dimension_numbers=dn
+        )
+        yb = jax.lax.conv_general_dilated(
+            b.astype(self.dtype), kernel[:, :, a.shape[-1] :, :], (1, 1), pad, dimension_numbers=dn
+        )
+        return ya + yb + bias.astype(ya.dtype)
+
+
+def _split_skip_enabled() -> bool:
+    import os
+
+    return os.environ.get("DU_TPU_SPLIT_SKIP", "1") != "0"
+
+
 class ResBlock(nn.Module):
     """ADM residual block with timestep scale-shift conditioning and optional
-    in-block up/downsampling (reference ``ResBlock``, ``unet_openai.py:144-258``)."""
+    in-block up/downsampling (reference ``ResBlock``, ``unet_openai.py:144-258``).
+
+    Decoder blocks pass their skip tensor via ``skip=``: when the GroupNorm
+    group size divides the first part's width (groups never straddle the
+    concat seam), the block runs concat-free — split GN + split convs — which
+    is exact up to float summation order; otherwise it falls back to the
+    materialized concat. Param trees are identical either way."""
 
     out_channels: int
     dropout: float
@@ -128,8 +173,24 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, deterministic: bool = True):
-        c_in = x.shape[-1]
+    def __call__(self, x, emb, deterministic: bool = True, skip=None):
+        split = None
+        if skip is not None:
+            assert not (self.up or self.down)
+            c1, c2 = x.shape[-1], skip.shape[-1]
+            c_tot = c1 + c2
+            gs = c_tot // min(32, c_tot)
+            if (
+                _split_skip_enabled()
+                and c1 % gs == 0
+                and c_tot % min(32, c_tot) == 0
+                and c_tot != self.out_channels  # identity residual needs the real concat
+            ):
+                split = (c1, c2, gs)
+            else:
+                x = jnp.concatenate([x, skip], axis=-1)
+                skip = None
+        c_in = x.shape[-1] if split is None else split[0] + split[1]
         conv = lambda ch, name, init=None: nn.Conv(
             ch,
             (3, 3),
@@ -139,18 +200,22 @@ class ResBlock(nn.Module):
             name=name,
         )
 
-        h = group_norm_silu(
-            x,
-            self.param("in_norm_scale", nn.initializers.ones, (c_in,), jnp.float32),
-            self.param("in_norm_bias", nn.initializers.zeros, (c_in,), jnp.float32),
-        )
-        if self.up:
-            h = nearest_upsample(h)
-            x = nearest_upsample(x)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = conv(self.out_channels, "in_conv")(h)
+        gamma = self.param("in_norm_scale", nn.initializers.ones, (c_in,), jnp.float32)
+        beta = self.param("in_norm_bias", nn.initializers.zeros, (c_in,), jnp.float32)
+        if split is None:
+            h = group_norm_silu(x, gamma, beta)
+            if self.up:
+                h = nearest_upsample(h)
+                x = nearest_upsample(x)
+            elif self.down:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = conv(self.out_channels, "in_conv")(h)
+        else:
+            c1, c2, gs = split
+            h_a = group_norm_silu(x, gamma[:c1], beta[:c1], num_groups=c1 // gs)
+            h_b = group_norm_silu(skip, gamma[c1:], beta[c1:], num_groups=c2 // gs)
+            h = _SplitInputConv(self.out_channels, 3, dtype=self.dtype, name="in_conv")(h_a, h_b)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
@@ -169,7 +234,9 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv(self.out_channels, "out_conv", zeros_init())(h)
 
-        if c_in != self.out_channels:
+        if split is not None:
+            x = _SplitInputConv(self.out_channels, 1, dtype=self.dtype, name="skip")(x, skip)
+        elif c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         return x + h
 
@@ -281,7 +348,7 @@ class ADMUNet(nn.Module):
                 h = res_block(
                     mult * mc, cfg.dropout, cfg.use_scale_shift_norm, dtype=cfg.dtype,
                     name=f"out_{block_idx}_res",
-                )(jnp.concatenate([h, skip], axis=-1), emb, deterministic)
+                )(h, emb, deterministic, skip)
                 ch = mult * mc
                 if ds in cfg.attention_resolutions:
                     h = AttentionBlock(**heads_for(ch, True), dtype=cfg.dtype, name=f"out_{block_idx}_attn")(h)

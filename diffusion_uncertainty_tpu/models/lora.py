@@ -30,7 +30,12 @@ def _kernel_paths(params, match: Optional[str]) -> Dict[str, tuple]:
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
         if keys and keys[-1] == "kernel" and leaf.ndim == 2:
-            joined = "/".join(str(k) for k in keys[:-1])
+            parts = [str(k) for k in keys[:-1]]
+            # drop the flax 'params' collection prefix — apply_lora addresses
+            # paths inside the collection
+            if parts and parts[0] == "params":
+                parts = parts[1:]
+            joined = "/".join(parts)
             if match is None or match in joined:
                 out[joined] = leaf.shape
     return out

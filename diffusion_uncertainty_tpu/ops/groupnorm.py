@@ -27,10 +27,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["group_norm_silu"]
 
 # Per-program VMEM budget for the slab, in f32 bytes. The true footprint is
-# ~4.5x the slab (double-buffered bf16 in/out blocks + f32 compute copies);
-# 3MB keeps the worst case under the 16MB scoped-vmem limit (empirically a
-# 4MB slab — 64²x256ch — compiles to a 17.9MB scoped allocation and fails).
-_VMEM_SLAB_LIMIT = 3 * 1024 * 1024
+# ~4.5-6x the slab (double-buffered bf16 in/out blocks + f32 compute copies);
+# this keeps the worst case under the 16MB scoped-vmem limit (empirically a
+# 3MB slab — 32²x768ch with the fused-FMA epilogue — compiles to an 18.5MB
+# scoped allocation and fails; 4MB/64²x256ch hit 17.9MB before that).
+_VMEM_SLAB_LIMIT = 2 * 1024 * 1024
 
 
 def _reference_impl(x, gamma, beta, num_groups, eps, scale, shift, apply_silu):
@@ -77,10 +78,15 @@ def _kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, *, num_grou
     mean_c = jax.lax.dot_general(mean_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     inv_c = jax.lax.dot_general(inv_g, m.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
 
-    y = (x - mean_c) * inv_c
-    y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    # collapse norm+affine(+scale-shift) into one per-channel FMA: the slab
+    # pass is VPU-bound, so per-element op count is the cost that matters
+    a_c = inv_c * gamma_ref[0].astype(jnp.float32)
+    b_c = beta_ref[0].astype(jnp.float32) - mean_c * a_c
     if has_ss:
-        y = y * (1.0 + scale_ref[0, 0].astype(jnp.float32)) + shift_ref[0, 0].astype(jnp.float32)
+        one_s = 1.0 + scale_ref[0, 0].astype(jnp.float32)
+        a_c = a_c * one_s
+        b_c = b_c * one_s + shift_ref[0, 0].astype(jnp.float32)
+    y = x * a_c + b_c
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -114,6 +120,28 @@ def group_norm_silu(
         sc = scale.reshape(b, 1, 1, c) if has_ss else None
         sh = shift.reshape(b, 1, 1, c) if has_ss else None
         return _reference_impl(x, gamma, beta, num_groups, eps, sc, sh, apply_silu)
+
+    import os
+
+    if (
+        h * w * c * 4 > _VMEM_SLAB_LIMIT
+        and os.environ.get("DU_TPU_GN_HWNC", "1") != "0"
+    ):
+        # Layout-native path for the big UNet levels: view the tensor as
+        # [HW, N, C]. Convs on these levels produce NHWC arrays with layout
+        # {3,0,2,1} (C minor, then N) — physically identical to a row-major
+        # [H, W, N, C] array — so this transpose is a free bitcast and the
+        # kernel reads/writes the conv-native layout directly, eliding the
+        # 256MB re-tiling copies the [B, HW, C] view forced (profiled at
+        # ~13 ms/forward on the ADM-128 b32 loop).
+        xv = x.transpose(1, 2, 0, 3).reshape(h * w, b, c)
+        scale_v = scale.reshape(b, c) if has_ss else jnp.zeros((b, c), x.dtype)
+        shift_v = shift.reshape(b, c) if has_ss else jnp.zeros((b, c), x.dtype)
+        out = _fused_gn_hwnc(
+            xv, gamma.reshape(1, c), beta.reshape(1, c), scale_v, shift_v,
+            num_groups, eps, apply_silu, has_ss,
+        )
+        return out.reshape(h, w, b, c).transpose(2, 0, 1, 3)
 
     xg = x.reshape(b, h * w, c)
     gamma_g = gamma.reshape(1, c)
@@ -181,6 +209,132 @@ def _fused_gn(xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu
         return out.reshape((axis_size, -1) + out.shape[1:]), True
 
     return fused(xg, gamma_g, beta_g, scale_g, shift_g)
+
+
+def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows):
+    """Two-pass GN over an [HW, N, C] view, all batches per grid step.
+
+    Phase 0 accumulates per-(N, C) sum/sum² over HW tiles into VMEM scratch;
+    the first phase-1 step converts them into the per-(N, C) affine
+    A = inv·γ·(1+s), B = (β − mean·inv·γ)·(1+s)+t — so the per-element work in
+    phase 1 collapses to one fused multiply-add (+SiLU), ~40% fewer VPU ops
+    than normalizing with mean/inv/γ/β separately (the big levels are
+    VPU-bound, not HBM-bound)."""
+    phase = pl.program_id(0)
+    it = pl.program_id(1)
+    x = x_ref[...].astype(jnp.float32)  # [tile, N, C]
+    _, n, c = x.shape
+    gs = c // num_groups
+
+    @pl.when(jnp.logical_and(phase == 0, it == 0))
+    def _():
+        acc1[...] = jnp.zeros_like(acc1)
+        acc2[...] = jnp.zeros_like(acc2)
+
+    @pl.when(phase == 0)
+    def _():
+        acc1[...] += jnp.sum(x, axis=0)
+        acc2[...] += jnp.sum(x * x, axis=0)
+
+    @pl.when(jnp.logical_and(phase == 1, it == 0))
+    def _():
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+        m = (ch // gs == gr).astype(jnp.float32)
+        cnt = float(n_rows * gs)
+        dot = lambda a, bm: jax.lax.dot_general(
+            a, bm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        s1 = dot(acc1[...], m)  # [N, G]
+        s2 = dot(acc2[...], m)
+        mean_g = s1 / cnt
+        var_g = s2 / cnt - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = dot(mean_g, m.T)  # [N, C]
+        inv_c = dot(inv_g, m.T)
+        gam = gamma_ref[0].astype(jnp.float32)[None, :]
+        bet = beta_ref[0].astype(jnp.float32)[None, :]
+        a_nc = inv_c * gam
+        b_nc = bet - mean_c * a_nc
+        if has_ss:
+            one_s = 1.0 + scale_ref[...].astype(jnp.float32)
+            a_nc = a_nc * one_s
+            b_nc = b_nc * one_s + shift_ref[...].astype(jnp.float32)
+        acc1[...] = a_nc
+        acc2[...] = b_nc
+
+    @pl.when(phase == 1)
+    def _():
+        y = x * acc1[...][None] + acc2[...][None]
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _fused_gn_hwnc_impl(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, apply_silu, has_ss):
+    hw, n, c = xv.shape
+    # largest power-of-two row tile that divides HW and keeps the bf16 block
+    # (double-buffered in+out) inside scoped VMEM. Bigger tiles matter: at
+    # 768KB blocks the 128² GN ran grid-overhead-bound at ~385GB/s effective
+    tile = 8
+    while tile * 2 <= hw and hw % (tile * 2) == 0 and tile * 2 * n * c * 2 <= 1536 * 1024:
+        tile *= 2
+    nt = hw // tile
+    return pl.pallas_call(
+        functools.partial(
+            _hwnc_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu,
+            has_ss=has_ss, n_rows=hw,
+        ),
+        grid=(2, nt),
+        in_specs=[
+            pl.BlockSpec((tile, n, c), lambda p, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda p, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        # phase 0 routes every program onto output tile 0 (writes elided in
+        # the kernel body): streamed traffic is 2R + 1W
+        out_specs=pl.BlockSpec((tile, n, c), lambda p, j: (j * p, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xv.shape, xv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, c), jnp.float32),
+        ],
+        interpret=jax.devices()[0].platform != "tpu",
+    )(xv, gamma_g, beta_g, scale_v, shift_v)
+
+
+def _fused_gn_hwnc(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, apply_silu, has_ss):
+    """HWNC-view GN with a vmap rule folding the mapped axis into N (exact:
+    group statistics are per-(N, C), so extra leading members are just more
+    rows of N)."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(x, g, bta, sc, sh):
+        return _fused_gn_hwnc_impl(x, g, bta, sc, sh, num_groups, eps, apply_silu, has_ss)
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, x, g, bta, sc, sh):  # noqa: ANN001
+        xb, gb, bb, scb, shb = in_batched
+        if gb or bb or not xb:
+            raise NotImplementedError("unsupported GN batching pattern")
+        hw = x.shape[1]
+
+        def fold_nc(a, batched):  # [V?, N, C] -> [V*N, C]
+            if batched:
+                return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape).reshape(
+                (axis_size * a.shape[0],) + a.shape[1:]
+            )
+
+        x2 = jnp.moveaxis(x, 0, 1).reshape(hw, -1, x.shape[-1])
+        out = fused(x2, g, bta, fold_nc(sc, scb), fold_nc(sh, shb))
+        out = out.reshape(hw, axis_size, -1, out.shape[-1])
+        return jnp.moveaxis(out, 1, 0), True
+
+    return fused(xv, gamma_g, beta_g, scale_v, shift_v)
 
 
 def _tiled_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows):

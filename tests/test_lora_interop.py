@@ -90,3 +90,35 @@ def test_import_reference_run(tmp_path):
     got_i = load_run_arrays(out, "gen_images")
     assert got_i.shape == (4, 8, 8, 3)
     assert (out / "args.yaml").exists()
+
+
+def test_lora_on_sd_unet_inference():
+    """intrinsic-LoRA applied to a real SD-class host: adapters over the
+    cross-attention projections change the forward; zero-init b is a no-op
+    (ref intrinsic_lora usage on SD attention, SURVEY §2.1)."""
+    from diffusion_uncertainty_tpu.models import SDUNet, SDUNetConfig
+
+    cfg = SDUNetConfig.tiny()
+    model = SDUNet(cfg)
+    x = jnp.ones((1, cfg.sample_size, cfg.sample_size, cfg.in_channels)) * 0.2
+    t = jnp.asarray(5)
+    ctx = jnp.ones((1, 5, cfg.cross_attention_dim))
+    params = model.init(jax.random.key(0), x, t, ctx)
+    # jitter: a fresh init's zero-init output conv makes the model constant
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.key(9), len(leaves))
+    params = jax.tree.unflatten(
+        treedef, [p + 0.05 * jax.random.normal(k, p.shape, p.dtype) for p, k in zip(leaves, keys)]
+    )
+
+    lora = init_lora(params, rank=2, key=jax.random.key(1), match="attn")
+    assert any("to_q" in k for k in lora)
+    base = model.apply(params, x, t, ctx)
+    merged0 = apply_lora(params, lora)
+    np.testing.assert_allclose(  # b==0 -> exact no-op
+        np.asarray(model.apply(merged0, x, t, ctx)), np.asarray(base), rtol=0, atol=0
+    )
+    for k in lora:
+        lora[k]["b"] = jnp.ones_like(lora[k]["b"]) * 0.1
+    out = model.apply(apply_lora(params, lora), x, t, ctx)
+    assert not np.allclose(np.asarray(out), np.asarray(base))

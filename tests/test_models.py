@@ -166,3 +166,15 @@ def test_unet2d_param_count_cifar10_scale():
     params = model.init(jax.random.key(0), x, jnp.asarray(0))
     n = sum(p.size for p in jax.tree.leaves(params))
     assert 30e6 < n < 42e6, n
+
+
+def test_adm_split_skip_equals_concat(adm_tiny, monkeypatch):
+    """Concat-free decoder blocks (split GN + split convs) must match the
+    materialized-concat path on identical params (exact up to f32 summation
+    order)."""
+    model, params, x, t, y = adm_tiny
+    x = jnp.linspace(-1, 1, x.size).reshape(x.shape)
+    out_split = model.apply(params, x, t, y)
+    monkeypatch.setenv("DU_TPU_SPLIT_SKIP", "0")
+    out_concat = model.apply(params, x, t, y)
+    np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_concat), rtol=1e-5, atol=1e-5)

@@ -83,3 +83,33 @@ def test_flash_attention_vmap_folds_into_batch():
     out = jax.vmap(lambda a: flash_attention(a, a, a, bq=64, bk=64))(q)
     ref = jax.vmap(lambda a: dot_product_attention(a, a, a, use_pallas=False))(q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_hwnc_path_matches_fallback(monkeypatch):
+    """The layout-native [HW,N,C] kernel (big-level path) must match the jnp
+    reference bit-for-bit-ish, including scale-shift + SiLU."""
+    import diffusion_uncertainty_tpu.ops.groupnorm as gnm
+
+    monkeypatch.setattr(gnm, "_VMEM_SLAB_LIMIT", 1)  # force the HWNC branch
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(3, 16, 16, 256).astype(np.float32))
+    g = jnp.asarray(rng.randn(256).astype(np.float32))
+    b = jnp.asarray(rng.randn(256).astype(np.float32))
+    sc = jnp.asarray(rng.randn(3, 256).astype(np.float32) * 0.1)
+    sh = jnp.asarray(rng.randn(3, 256).astype(np.float32) * 0.1)
+    out = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=True)
+    ref = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_group_norm_hwnc_vmap_folds_into_n(monkeypatch):
+    import diffusion_uncertainty_tpu.ops.groupnorm as gnm
+
+    monkeypatch.setattr(gnm, "_VMEM_SLAB_LIMIT", 1)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 2, 8, 8, 128).astype(np.float32))
+    g = jnp.asarray(rng.randn(128).astype(np.float32))
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    out = jax.vmap(lambda xx: gnm.group_norm_silu(xx, g, b, use_pallas=True))(x)
+    ref = jax.vmap(lambda xx: gnm.group_norm_silu(xx, g, b, use_pallas=False))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
