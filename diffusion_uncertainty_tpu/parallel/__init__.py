@@ -1,4 +1,5 @@
-"""Device-mesh / sharding layer (data-parallel + ensemble-parallel sampling)."""
+"""Device-mesh / sharding layer: data- + ensemble-parallel sampling, and
+tensor-parallel param specs for the multi-billion-param transformer families."""
 
 from .mesh import (  # noqa: F401
     make_mesh,
@@ -6,4 +7,12 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
     local_shard_bounds,
+)
+from .tp import (  # noqa: F401
+    param_shardings,
+    shard_params,
+    mmdit_tp_spec,
+    flux_tp_spec,
+    uvit_tp_spec,
+    sd_unet_tp_spec,
 )

@@ -1,0 +1,107 @@
+"""Tensor-parallel sharding specs: TP execution must equal replicated
+execution bit-for-bit-ish for every family rule (XLA inserts the collectives
+from the param shardings; conftest provides the 8-device virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.parallel.tp import (
+    flux_tp_spec,
+    make_tp_mesh,
+    mmdit_tp_spec,
+    param_shardings,
+    sd_unet_tp_spec,
+    shard_params,
+    uvit_tp_spec,
+)
+
+
+def _run_tp_vs_replicated(model, params, spec_fn, mesh, *args, atol=2e-5):
+    ref = model.apply(params, *args)
+    sharded = shard_params(params, spec_fn, mesh)
+    with mesh:
+        f = jax.jit(
+            lambda p, *a: model.apply(p, *a),
+            in_shardings=(param_shardings(params, spec_fn, mesh),)
+            + tuple(None for _ in args),
+        )
+        out = f(sharded, *args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=atol)
+    return out
+
+
+def test_mmdit_tp_matches_replicated():
+    from diffusion_uncertainty_tpu.models import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig.tiny()  # 4 heads -> model=4 shards cleanly
+    mesh = make_tp_mesh(data=2, model=4)
+    model = MMDiT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.asarray(500.0)
+    ctx = jax.random.normal(jax.random.key(1), (2, 6, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.key(2), (2, cfg.pooled_projection_dim))
+    params = model.init(jax.random.key(3), x, t, ctx, pooled)
+    _run_tp_vs_replicated(model, params, mmdit_tp_spec, mesh, x, t, ctx, pooled)
+
+
+def test_flux_tp_matches_replicated():
+    from diffusion_uncertainty_tpu.models import FluxConfig, FluxTransformer
+
+    cfg = FluxConfig.tiny()  # 2 heads -> model=2
+    mesh = make_tp_mesh(data=4, model=2)
+    model = FluxTransformer(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, cfg.in_channels))
+    t = jnp.asarray(500.0)
+    ctx = jax.random.normal(jax.random.key(1), (2, 6, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.key(2), (2, cfg.pooled_projection_dim))
+    g = jnp.asarray(3500.0)
+    params = model.init(jax.random.key(3), x, t, ctx, pooled, g)
+    _run_tp_vs_replicated(model, params, flux_tp_spec, mesh, x, t, ctx, pooled, g)
+
+
+def test_uvit_tp_matches_replicated():
+    from diffusion_uncertainty_tpu.models import UViT, UViTConfig
+
+    cfg = UViTConfig.tiny()  # 2 heads
+    mesh = make_tp_mesh(data=4, model=2)
+    model = UViT(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    t = jnp.asarray(500)
+    y = jnp.asarray([1, 2])
+    params = model.init(jax.random.key(3), x, t, y)
+    _run_tp_vs_replicated(model, params, uvit_tp_spec, mesh, x, t, y)
+
+
+def test_sd_unet_tp_matches_replicated():
+    from diffusion_uncertainty_tpu.models import SDUNet, SDUNetConfig
+
+    cfg = SDUNetConfig.tiny()  # 2 heads
+    mesh = make_tp_mesh(data=4, model=2)
+    model = SDUNet(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.asarray(7)
+    ctx = jax.random.normal(jax.random.key(1), (2, 5, cfg.cross_attention_dim))
+    params = model.init(jax.random.key(3), x, t, ctx)
+    _run_tp_vs_replicated(model, params, sd_unet_tp_spec, mesh, x, t, ctx)
+
+
+def test_tp_actually_shards_memory():
+    """Per-device bytes of a TP-sharded kernel must be 1/model of the total
+    (the point of TP: Flux-dev's 24GB of bf16 params cannot fit one chip)."""
+    from diffusion_uncertainty_tpu.models import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig.tiny()
+    mesh = make_tp_mesh(data=2, model=4)
+    model = MMDiT(cfg)
+    x = jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    params = model.init(
+        jax.random.key(0), x, jnp.asarray(1.0),
+        jnp.zeros((1, 4, cfg.joint_attention_dim)),
+        jnp.zeros((1, cfg.pooled_projection_dim)),
+    )
+    sharded = shard_params(params, mmdit_tp_spec, mesh)
+    k = sharded["params"]["block_0"]["to_q"]["kernel"]
+    shard_shapes = {s.data.shape for s in k.addressable_shards}
+    assert shard_shapes == {(k.shape[0], k.shape[1] // 4)}, shard_shapes
