@@ -31,7 +31,12 @@ __all__ = ["group_norm_silu"]
 # this keeps the worst case under the 16MB scoped-vmem limit (empirically a
 # 3MB slab — 32²x768ch with the fused-FMA epilogue — compiles to an 18.5MB
 # scoped allocation and fails; 4MB/64²x256ch hit 17.9MB before that).
-_VMEM_SLAB_LIMIT = 2 * 1024 * 1024
+# Env overrides exist for A/B runs against a raised
+# --xla_tpu_scoped_vmem_limit_kib.
+import os as _os
+
+_VMEM_SLAB_LIMIT = int(_os.environ.get("DU_TPU_GN_SLAB_LIMIT", 2 * 1024 * 1024))
+_TILE_BUDGET = int(_os.environ.get("DU_TPU_GN_TILE_BUDGET", 1536 * 1024))
 
 
 def _reference_impl(x, gamma, beta, num_groups, eps, scale, shift, apply_silu):
@@ -278,7 +283,7 @@ def _fused_gn_hwnc_impl(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, 
     # (double-buffered in+out) inside scoped VMEM. Bigger tiles matter: at
     # 768KB blocks the 128² GN ran grid-overhead-bound at ~385GB/s effective
     tile = 8
-    while tile * 2 <= hw and hw % (tile * 2) == 0 and tile * 2 * n * c * 2 <= 1536 * 1024:
+    while tile * 2 <= hw and hw % (tile * 2) == 0 and tile * 2 * n * c * 2 <= _TILE_BUDGET:
         tile *= 2
     nt = hw // tile
     return pl.pallas_call(

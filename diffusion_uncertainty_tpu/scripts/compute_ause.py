@@ -143,6 +143,12 @@ def main(argv=None):
     with open(out_dir / f"results_{cfg.scheduler_type}{suffix}.yaml", "w") as f:
         yaml.safe_dump({"mean_ause": str(ause), "mean_aurg": str(aurg)}, f)
     save_config(cfg, out_dir / "args.yaml")
+    # append to the per-M curve record (ref ``plot_curve_M.py`` reads AUSE
+    # across ensemble sizes; one JSONL line per run keeps all M values)
+    import json
+
+    with open(out_dir / f"ause_vs_M_{cfg.scheduler_type}{suffix}.jsonl", "a") as f:
+        f.write(json.dumps({"M": cfg.M, "ause": float(ause), "aurg": float(aurg)}) + "\n")
     return ause, aurg
 
 

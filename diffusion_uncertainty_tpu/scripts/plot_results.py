@@ -244,6 +244,31 @@ def plot_sd_row(cfg, out: Path):
     fig.savefig(out, dpi=150)
 
 
+def plot_ause_vs_m(cfg, out: Path):
+    """AUSE/AURG vs ensemble size M (ref ``scripts/plot_curve_M.py``): reads
+    the JSONL curve records ``compute_ause`` appends per run."""
+    plt = _plt()
+    base = paths.ause() / cfg.dataset
+    files = sorted(base.glob("ause_vs_M_*.jsonl"))
+    if not files:
+        raise SystemExit(f"no ause_vs_M_*.jsonl under {base}; run compute_ause at several --M first")
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for f in files:
+        sched = f.stem[len("ause_vs_M_"):]
+        recs = [json.loads(line) for line in f.read_text().splitlines() if line.strip()]
+        by_m = {}
+        for r in recs:  # last run at each M wins
+            by_m[int(r["M"])] = float(r["ause"])
+        ms = sorted(by_m)
+        ax.plot(ms, [by_m[m] for m in ms], marker="o", label=sched)
+    ax.set_xlabel("ensemble size M")
+    ax.set_ylabel("AUSE (rmse)")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
 _KINDS = {
     "uncertainty_schedule": plot_uncertainty_schedule,
     "image_grid": plot_image_grid,
@@ -253,6 +278,7 @@ _KINDS = {
     "pr_curve": plot_pr_curve,
     "sd_prompt_grid": plot_sd_prompt_grid,
     "sd_row": plot_sd_row,
+    "ause_m": plot_ause_vs_m,
 }
 
 

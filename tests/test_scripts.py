@@ -183,3 +183,19 @@ def test_generate_t2i_guided_flow_match_family(root, model, stem):
     assert (run / f"output_{stem}_uc.png").exists()
     assert (run / f"output_{stem}.png").exists()
     assert (run / "uncertainty.npz").exists()
+
+
+def test_plot_ause_vs_m(root):
+    """AUSE-vs-M curve plot (ref scripts/plot_curve_M.py) from the JSONL
+    records compute_ause appends."""
+    import json
+
+    from diffusion_uncertainty_tpu.scripts.plot_results import main as plot_main
+    from diffusion_uncertainty_tpu.utils import paths
+
+    d = paths.ensure(paths.ause() / "tiny")
+    with open(d / "ause_vs_M_uncertainty_centered.jsonl", "w") as f:
+        for m, a in ((2, 0.5), (5, 0.4), (10, 0.35)):
+            f.write(json.dumps({"M": m, "ause": a, "aurg": 0.1}) + "\n")
+    out = plot_main(["--kind", "ause_m", "--dataset", "tiny"])
+    assert out.exists() and out.stat().st_size > 0
