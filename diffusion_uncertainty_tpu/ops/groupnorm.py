@@ -35,7 +35,11 @@ __all__ = ["group_norm_silu"]
 # --xla_tpu_scoped_vmem_limit_kib.
 import os as _os
 
-_VMEM_SLAB_LIMIT = int(_os.environ.get("DU_TPU_GN_SLAB_LIMIT", 2 * 1024 * 1024))
+# 128KB routes effectively EVERY GN site through the [HW,N,C] kernel — each
+# step down (2MB -> 1MB -> 128KB) was a measured win on the ADM-128 b48 loop
+# (47.04s -> 45.91s -> 44.87s): the layout-native two-pass kernel beats the
+# whole-slab one even where the slab would fit VMEM.
+_VMEM_SLAB_LIMIT = int(_os.environ.get("DU_TPU_GN_SLAB_LIMIT", 128 * 1024))
 _TILE_BUDGET = int(_os.environ.get("DU_TPU_GN_TILE_BUDGET", 1536 * 1024))
 
 
