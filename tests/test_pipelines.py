@@ -102,3 +102,21 @@ def test_flow_match_sigma_schedule_properties():
     assert sig[0] == pytest.approx(1.0)
     assert sig[-1] == 0.0
     assert np.all(np.diff(sig) < 0)
+
+
+def test_flow_match_stepwise_equals_scan():
+    """Host-loop execution mode (big-model path) must reproduce the scan
+    sampler exactly — same RNG split pattern, same update math."""
+    from diffusion_uncertainty_tpu.diffusion.flow_match import (
+        FlowMatchConfig,
+        sample_flow_match,
+        sample_flow_match_stepwise,
+    )
+
+    model = lambda x, t, k: 0.3 * x + 0.01 * jax.random.normal(k, x.shape)
+    cfg = FlowMatchConfig(num_inference_steps=8, after_step=3, num_steps_uc=3, M=3)
+    xT = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    a = sample_flow_match(model, xT, jax.random.key(2), cfg)
+    b = sample_flow_match_stepwise(model, xT, jax.random.key(2), cfg)
+    np.testing.assert_allclose(np.asarray(a.sample), np.asarray(b.sample), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.uncertainty), np.asarray(b.uncertainty), rtol=1e-5, atol=1e-6)
