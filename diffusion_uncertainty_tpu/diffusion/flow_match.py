@@ -150,7 +150,6 @@ def sample_flow_match_stepwise(
     one forward program instead of one whole-loop program. Bitwise-identical
     RNG stream and update math to the scan version (same split pattern per
     step), verified by test."""
-    import numpy as np
 
     sig_host = _sigmas(cfg)
     sigmas = jnp.asarray(sig_host)

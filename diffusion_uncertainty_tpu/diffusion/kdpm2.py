@@ -15,7 +15,6 @@ two-eval body, so the chain stays one compiled loop).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -518,19 +518,41 @@ def convert_sd3_mmdit(state_dict: dict, cfg) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _flux_token_perm(channels: int) -> np.ndarray:
+    """diffusers ``_pack_latents`` orders each 2×2 token's features
+    channel-major ``(c, p1, p2)``; our in-model packing is patch-major
+    ``(p1, p2, c)`` (flux.py). perm[ours] = theirs, length 4·C."""
+    perm = np.empty(4 * channels, np.int64)
+    i = 0
+    for p1 in range(2):
+        for p2 in range(2):
+            for c in range(channels):
+                perm[i] = c * 4 + p1 * 2 + p2
+                i += 1
+    return perm
+
+
 def convert_flux(state_dict: dict, cfg) -> dict:
     """diffusers ``FluxTransformer2DModel`` → flax ``FluxTransformer`` params
-    (19 double + 38 single blocks, RMS-normed q/k everywhere)."""
+    (19 double + 38 single blocks, RMS-normed q/k everywhere). The token
+    packing order differs from diffusers (see ``_flux_token_perm``), so the
+    x_embedder input rows and proj_out output columns are permuted."""
     sd = _SD(state_dict)
+    perm = _flux_token_perm(cfg.in_channels)
+    x_emb = _dense(sd, "x_embedder")
+    x_emb["kernel"] = x_emb["kernel"][perm]
+    head = _dense(sd, "proj_out")
+    head["kernel"] = head["kernel"][:, perm]
+    head["bias"] = head["bias"][perm]
     P: dict = {
-        "x_embedder": _dense(sd, "x_embedder"),
+        "x_embedder": x_emb,
         "context_embedder": _dense(sd, "context_embedder"),
         "timestep_dense_0": _dense(sd, "time_text_embed.timestep_embedder.linear_1"),
         "timestep_dense_1": _dense(sd, "time_text_embed.timestep_embedder.linear_2"),
         "text_dense_0": _dense(sd, "time_text_embed.text_embedder.linear_1"),
         "text_dense_1": _dense(sd, "time_text_embed.text_embedder.linear_2"),
         "norm_out_linear": _dense(sd, "norm_out.linear"),
-        "proj_out": _dense(sd, "proj_out"),
+        "proj_out": head,
     }
     if cfg.guidance_embeds:
         P["guidance_dense_0"] = _dense(sd, "time_text_embed.guidance_embedder.linear_1")

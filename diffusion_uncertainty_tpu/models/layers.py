@@ -67,14 +67,29 @@ def zeros_init() -> Callable:
     return nn.initializers.zeros
 
 
+class _GNParams(nn.Module):
+    """Scale/bias holder with ``nn.GroupNorm``'s exact param layout, so the
+    kernel-backed ``GroupNorm32`` keeps checkpoint-identical trees."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32),
+        )
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm with float32 statistics over min(32, C) groups
     (reference ``GroupNorm32``/``normalization``, ``guided_diffusion/nn.py``).
 
-    Stays on XLA's native GroupNorm deliberately: A/B on the ADM-128 b48 loop
-    showed routing these attention-entry norms through the Pallas kernel is a
-    net −1.5% (the layout constraints of the custom call outweigh the fused
-    reduce — XLA folds this norm into the surrounding attention fusions)."""
+    Routed through the Pallas GN kernel (no SiLU). An earlier A/B measured
+    this as a net loss when the kernel demanded row-major [B,HW,C] inputs
+    (layout copies at every attention entry); with the layout-native [HW,N,C]
+    kernel reading conv-native bytes directly it is re-tested via
+    ``DU_TPU_GN32_XLA=1`` to force the old nn.GroupNorm path."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -82,13 +97,24 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         groups = min(self.num_groups, x.shape[-1])
-        y = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        if os.environ.get("DU_TPU_GN32_XLA") == "1" or x.ndim != 4:
+            y = nn.GroupNorm(
+                num_groups=groups,
+                epsilon=self.epsilon,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                name="GroupNorm_0",
+            )(x.astype(jnp.float32))
+            return y.astype(self.dtype)
+        from ..ops.groupnorm import group_norm_silu
+
+        scale, bias = _GNParams(x.shape[-1], name="GroupNorm_0")()
+        y = group_norm_silu(
+            x, scale, bias, num_groups=groups, eps=self.epsilon, apply_silu=False
+        )
         return y.astype(self.dtype)
 
 

@@ -136,7 +136,6 @@ def plot_pr_curve(cfg, out: Path):
     ``group_size`` across the ranking, P&R each window."""
     plt = _plt()
     from ..metrics.precision_recall import precision_recall
-    from .compute_fid import Config as FidConfig
     from .compute_precision_recall import _pr_extractor, _real_features_path
     from ..metrics.fid import extract_features
 

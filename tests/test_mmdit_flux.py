@@ -301,3 +301,26 @@ def test_flux_flow_match_end_to_end():
     assert res.sample.shape == x.shape
     assert res.uncertainty.shape == (2, 2, 8, 8, cfg.in_channels)
     assert np.isfinite(np.asarray(res.sample)).all()
+
+
+def test_flux_token_packing_permutation():
+    """Our patch-major (p1,p2,c) token packing + the converter's row
+    permutation must reproduce diffusers' channel-major (c,p1,p2)
+    ``_pack_latents`` + raw weight exactly."""
+    from diffusion_uncertainty_tpu.models.convert import _flux_token_perm
+
+    rng2 = np.random.RandomState(11)
+    C, D = 4, 6
+    x = rng2.randn(1, 4, 4, C).astype(np.float32)  # NHWC latents
+    W = rng2.randn(D, 4 * C).astype(np.float32)  # torch x_embedder weight
+
+    # diffusers: NCHW -> view(B,C,h,2,w,2) -> permute(0,2,4,1,3,5) -> (B,hw,C*4)
+    xt = x.transpose(0, 3, 1, 2)
+    B, Cc, H, Wd = xt.shape
+    tok_torch = xt.reshape(B, Cc, H // 2, 2, Wd // 2, 2).transpose(0, 2, 4, 1, 3, 5).reshape(B, -1, 4 * Cc)
+    out_torch = tok_torch @ W.T
+
+    # ours: (B,gh,2,gw,2,C) patch-major tokens, converted kernel
+    tok_ours = x.reshape(B, H // 2, 2, Wd // 2, 2, Cc).transpose(0, 1, 3, 2, 4, 5).reshape(B, -1, 4 * Cc)
+    K = W.T[_flux_token_perm(Cc)]
+    np.testing.assert_allclose(tok_ours @ K, out_torch, rtol=1e-5, atol=1e-6)
