@@ -44,11 +44,16 @@ def dot_product_attention(
 
         use_pallas = _on_tpu() and os.environ.get("DU_TPU_DISABLE_PALLAS_ATTN") != "1"
     if use_pallas:
-        from .flash_attention import flash_attention, supports
+        from .flash_attention import supports
 
-        if supports(q.shape, q.dtype):
-            return flash_attention(q, k, v)
+        # the kernel streams K/V with the Q sequence length — self-attention
+        # shapes only (SD cross-attention reads a 77-token context: XLA path)
+        if supports(q.shape, q.dtype) and q.shape[1] == k.shape[1]:
+            return _flash_with_xla_grad(q, k, v)
+    return _xla_attention(q, k, v)
 
+
+def _xla_attention(q, k, v):
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
@@ -56,3 +61,36 @@ def dot_product_attention(
     weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+@jax.custom_vjp
+def _flash_with_xla_grad(q, k, v):
+    """Pallas flash forward; standard-attention einsum math for the backward
+    (Pallas kernels have no VJP — the gradient-based guidance/estimator
+    family differentiates through the model, caught live on the SD guided
+    path)."""
+    from .flash_attention import flash_attention
+
+    return flash_attention(q, k, v)
+
+
+def _flash_fwd(q, k, v):
+    return _flash_with_xla_grad(q, k, v), (q, k, v)
+
+
+def _flash_bwd(res, g):
+    q, k, v = res
+    qf, kf, vf = (a.astype(jnp.float32) for a in (q, k, v))
+    gf = g.astype(jnp.float32)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", w, gf)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_with_xla_grad.defvjp(_flash_fwd, _flash_bwd)

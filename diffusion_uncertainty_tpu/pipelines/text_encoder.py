@@ -64,8 +64,11 @@ def encode_prompts(
         from transformers import CLIPTextModel, CLIPTokenizer
 
         src = local_path or model_name
-        tokenizer = CLIPTokenizer.from_pretrained(src, local_files_only=local_path is not None)
-        encoder = CLIPTextModel.from_pretrained(src, local_files_only=local_path is not None)
+        # local_files_only always: with no egress the hub client otherwise
+        # burns ~2 min in retry backoff before we can fall back. Networked
+        # users pre-download to the HF cache or pass local_path.
+        tokenizer = CLIPTokenizer.from_pretrained(src, local_files_only=True)
+        encoder = CLIPTextModel.from_pretrained(src, local_files_only=True)
         encoder.eval()
 
         def enc(texts):

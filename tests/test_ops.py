@@ -92,11 +92,11 @@ def test_group_norm_hwnc_path_matches_fallback(monkeypatch):
 
     monkeypatch.setattr(gnm, "_VMEM_SLAB_LIMIT", 1)  # force the HWNC branch
     rng = np.random.RandomState(3)
-    x = jnp.asarray(rng.randn(3, 16, 16, 256).astype(np.float32))
+    x = jnp.asarray(rng.randn(8, 16, 16, 256).astype(np.float32))
     g = jnp.asarray(rng.randn(256).astype(np.float32))
     b = jnp.asarray(rng.randn(256).astype(np.float32))
-    sc = jnp.asarray(rng.randn(3, 256).astype(np.float32) * 0.1)
-    sh = jnp.asarray(rng.randn(3, 256).astype(np.float32) * 0.1)
+    sc = jnp.asarray(rng.randn(8, 256).astype(np.float32) * 0.1)
+    sh = jnp.asarray(rng.randn(8, 256).astype(np.float32) * 0.1)
     out = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=True)
     ref = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
@@ -107,9 +107,74 @@ def test_group_norm_hwnc_vmap_folds_into_n(monkeypatch):
 
     monkeypatch.setattr(gnm, "_VMEM_SLAB_LIMIT", 1)
     rng = np.random.RandomState(4)
-    x = jnp.asarray(rng.randn(2, 2, 8, 8, 128).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 8, 8, 8, 128).astype(np.float32))
     g = jnp.asarray(rng.randn(128).astype(np.float32))
     b = jnp.asarray(rng.randn(128).astype(np.float32))
     out = jax.vmap(lambda xx: gnm.group_norm_silu(xx, g, b, use_pallas=True))(x)
     ref = jax.vmap(lambda xx: gnm.group_norm_silu(xx, g, b, use_pallas=False))(x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_falls_back_to_xla():
+    """Cross-attention (kv shorter than q, the SD text context) must not hit
+    the flash kernel — caught live: the kernel folds K/V with Q's sequence
+    length and faults on mismatched shapes."""
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(2, 128, 2, 40).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 77, 2, 40).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 77, 2, 40).astype(np.float32))
+    out = dot_product_attention(q, k, v, use_pallas=True)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # and under an ensemble vmap, like the percentile guidance applies it
+    outv = jax.vmap(lambda qq: dot_product_attention(qq, k, v, use_pallas=True))(
+        jnp.stack([q, q + 0.1])
+    )
+    refv = jax.vmap(lambda qq: dot_product_attention(qq, k, v, use_pallas=False))(
+        jnp.stack([q, q + 0.1])
+    )
+    np.testing.assert_allclose(np.asarray(outv), np.asarray(refv), rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_gradient_matches_xla():
+    """Gradients THROUGH the flash path (gradient guidance differentiates the
+    model) must match the XLA attention gradients — the Pallas kernel has a
+    custom VJP with standard-attention backward math."""
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(1, 128, 2, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 128, 2, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 128, 2, 64).astype(np.float32))
+
+    def loss(fn_flag):
+        return lambda a, b, c: jnp.sum(
+            jnp.sin(dot_product_attention(a, b, c, use_pallas=fn_flag))
+        )
+
+    g_flash = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_gradient_matches_reference():
+    """Gradients through the Pallas GN dispatch (custom VJP with reference
+    backward math) must equal the pure-jnp gradients — the gradient guidance
+    family differentiates through every norm in the model."""
+    import diffusion_uncertainty_tpu.ops.groupnorm as gnm
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+    g = jnp.asarray(rng.randn(128).astype(np.float32))
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    sc = jnp.asarray(rng.randn(2, 128).astype(np.float32) * 0.1)
+    sh = jnp.asarray(rng.randn(2, 128).astype(np.float32) * 0.1)
+
+    def loss(flag):
+        return lambda xx, gg, bb: jnp.sum(
+            jnp.sin(gnm.group_norm_silu(xx, gg, bb, scale=sc, shift=sh, use_pallas=flag))
+        )
+
+    got = jax.grad(loss(True), argnums=(0, 1, 2))(x, g, b)
+    ref = jax.grad(loss(False), argnums=(0, 1, 2))(x, g, b)
+    for a_, r_ in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(r_), rtol=1e-4, atol=1e-5)
