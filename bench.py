@@ -27,6 +27,7 @@ import dataclasses
 import json
 import pathlib
 import sys
+import math
 import time
 import traceback
 
@@ -136,7 +137,7 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chun
         # early for donated-aliased outputs; a scalar fetch cannot
         sink = float(jnp.sum(res.sample[0, 0, 0]))
         times.append(time.perf_counter() - t0)
-        assert jnp.isfinite(sink) or True
+        assert math.isfinite(sink), f"non-finite readback: {sink}"
     best = min(times)
     imgs_per_sec = BATCH / best
     log(f"[{tag}] batch {BATCH}: {best:.2f}s -> {imgs_per_sec:.3f} imgs/sec/chip ({[f'{x:.2f}' for x in times]})")

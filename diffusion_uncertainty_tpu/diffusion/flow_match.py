@@ -9,12 +9,22 @@ Parity target: the reference's SD3/Flux pipelines run diffusers'
 Math: with σ ∈ (1..0] and x_σ = (1−σ)·x0 + σ·ε, the model predicts the
 velocity v = ε − x0; Euler step x_{σ'} = x_σ + (σ' − σ)·v. The uncertainty
 block re-noises x̂ = (1−σ)·x̂0 + σ·n, runs M forwards, and reduces exactly like
-the centered/percentile estimators.
+the centered/percentile estimators. In gradient (non-posterior) mode the
+update is the reference's backprop step — the scalarized ensemble variance is
+differentiated through the M re-noised forwards back to the velocity and
+``v' = v + lr·grad·mask`` (``uncertainty_guidance.py:108,122-129``).
+
+Two sigma schedules (both diffusers ``FlowMatchEulerDiscrete``):
+  * constant shift (SD3):  σ_i = shift·s/(1+(shift−1)·s)
+  * dynamic shift (Flux):  σ_i = e^μ/(e^μ + 1/s − 1) with μ linear in the
+    packed image sequence length (``pipeline_flux_uncertainty.py:181-198``,
+    diffusers ``calculate_shift``/``FluxPipeline`` defaults).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -30,7 +40,14 @@ __all__ = ["FlowMatchConfig", "sample_flow_match", "sample_flow_match_stepwise"]
 class FlowMatchConfig:
     num_inference_steps: int = 28
     num_train_timesteps: int = 1000
-    shift: float = 3.0  # SD3 timestep shift
+    shift: float = 3.0  # SD3 constant timestep shift
+    # Flux dynamic shifting (diffusers scheduler config defaults)
+    use_dynamic_shifting: bool = False
+    image_seq_len: int = 0  # packed token count; required when dynamic
+    base_image_seq_len: int = 256
+    max_image_seq_len: int = 4096
+    base_shift: float = 0.5
+    max_shift: float = 1.15
     # uncertainty window
     after_step: int = 0
     num_steps_uc: int = 0
@@ -47,12 +64,89 @@ class FlowMatchResult(NamedTuple):
 
 
 def _sigmas(cfg: FlowMatchConfig) -> np.ndarray:
-    """Shifted sigma schedule (diffusers FlowMatchEulerDiscrete with SD3
-    dynamic shift disabled): σ_i = shift·s/(1+(shift−1)·s), s from 1 → 1/n,
-    plus terminal 0."""
+    """Shifted sigma schedule, s from 1 → 1/n plus terminal 0.
+
+    Constant-shift: σ = shift·s/(1+(shift−1)·s). Dynamic (Flux): μ from the
+    packed sequence length via the diffusers ``calculate_shift`` line, then
+    the exponential time shift σ = e^μ/(e^μ + 1/s − 1)."""
     s = np.linspace(1.0, 1.0 / cfg.num_inference_steps, cfg.num_inference_steps)
-    sig = cfg.shift * s / (1.0 + (cfg.shift - 1.0) * s)
+    if cfg.use_dynamic_shifting:
+        if cfg.image_seq_len <= 0:
+            raise ValueError("use_dynamic_shifting requires image_seq_len > 0")
+        m = (cfg.max_shift - cfg.base_shift) / (cfg.max_image_seq_len - cfg.base_image_seq_len)
+        mu = cfg.image_seq_len * m + (cfg.base_shift - m * cfg.base_image_seq_len)
+        sig = math.exp(mu) / (math.exp(mu) + (1.0 / s - 1.0))
+    else:
+        sig = cfg.shift * s / (1.0 + (cfg.shift - 1.0) * s)
     return np.concatenate([sig, [0.0]]).astype(np.float32)
+
+
+def _quantile_mask(u: jnp.ndarray, percentile: float) -> jnp.ndarray:
+    b = u.shape[0]
+    q = jnp.quantile(u.reshape(b, -1), percentile, axis=1).reshape(
+        (b,) + (1,) * (u.ndim - 1)
+    )
+    return (u > q).astype(jnp.float32)
+
+
+def _ensemble_vs(velocity_fn, x0, sigma, t, noises, keys, dtype, sequential, remat=False):
+    """M velocity forwards on re-noised x̂ = (1−σ)·x̂0 + σ·n — the flow-match
+    analogue of the reference's √ᾱ re-noising (``uncertainty_guidance.py:88``).
+    ``sequential`` runs members one-at-a-time (host-loop mode for multi-B
+    models); ``remat`` rematerializes each forward on the backward pass."""
+    fwd = lambda xh, kk: velocity_fn(xh.astype(dtype), t, kk)
+    if remat:
+        fwd = jax.checkpoint(fwd)
+    x_hats = (1.0 - sigma) * x0[None] + sigma * noises
+    if sequential:
+        vs = jnp.stack([fwd(x_hats[m], keys[m]) for m in range(len(keys))])
+    else:
+        vs = jax.vmap(fwd)(x_hats, keys)
+    return vs.astype(jnp.float32)
+
+
+def _guided_velocity(velocity_fn, x, v, sigma, t, cfg: FlowMatchConfig, k_n, k_e, sequential):
+    """Windowed uncertainty update of the velocity (reference
+    ``get_uncertainty_guided_score_with_percentile``,
+    ``uncertainty_guidance.py:61-131``, with alpha_hat_t := σ as the SD3/Flux
+    pipelines pass it). Returns (v_new, u) in f32.
+
+    posterior: precision-weighted reweighting on masked pixels over the
+      stacked (M re-noised + original) predictions.
+    gradient:  v' = v + lr·(∂/∂v Σ_px mean_b Var_M)·mask — the reference's
+      backprop update (``uncertainty_guidance.py:108,122-129``); the ensemble
+      variance there is over the M re-noised members only (``:101-103``:
+      the original prediction joins the stack only in posterior mode).
+    """
+    xf = x.astype(jnp.float32)
+    noises = jax.random.normal(k_n, (cfg.M,) + v.shape, jnp.float32)
+    keys = jax.random.split(k_e, cfg.M)
+    dtype = x.dtype
+
+    if cfg.use_posterior:
+        x0 = xf - sigma * v
+        vs = _ensemble_vs(velocity_fn, x0, sigma, t, noises, keys, dtype, sequential)
+        stacked = jnp.concatenate([vs, v[None]], axis=0)
+        u = jnp.var(stacked, axis=0, ddof=1)
+        inv_var = 1.0 / (u + 1e-20)
+        post_prec = 1.0 / (cfg.M * inv_var + 1.0 / jnp.maximum(sigma, 1e-6))
+        post_v = post_prec * (inv_var * jnp.sum(stacked, axis=0))
+        mask = _quantile_mask(u, cfg.percentile)
+        v_new = v * (1.0 - mask) + post_v * mask
+    else:
+
+        def scalar_u(vv):
+            x0 = xf - sigma * vv
+            vs = _ensemble_vs(
+                velocity_fn, x0, sigma, t, noises, keys, dtype, sequential, remat=True
+            )
+            uu = jnp.var(vs, axis=0, ddof=1)
+            return jnp.sum(jnp.mean(uu, axis=0)), uu
+
+        grad, u = jax.grad(scalar_u, has_aux=True)(v)
+        mask = _quantile_mask(u, cfg.percentile)
+        v_new = v + cfg.lr * grad * mask
+    return v_new, u
 
 
 def sample_flow_match(
@@ -66,57 +160,21 @@ def sample_flow_match(
     n = cfg.num_inference_steps
     T = cfg.num_train_timesteps
 
-    def base(x, i, k):
-        sigma = sigmas[i]
-        t = sigma * T
-        v = velocity_fn(x, t, k).astype(jnp.float32)
-        x0 = x.astype(jnp.float32) - sigma * v  # x0 = x - σ·(ε − x0) identity
-        next_x = x.astype(jnp.float32) + (sigmas[i + 1] - sigma) * v
-        return v, x0, next_x
-
     def plain_body(carry, i):
         x, k = carry
         k, k_m = jax.random.split(k)
-        _, _, next_x = base(x, i, k_m)
+        sigma = sigmas[i]
+        v = velocity_fn(x, sigma * T, k_m).astype(jnp.float32)
+        next_x = x.astype(jnp.float32) + (sigmas[i + 1] - sigma) * v
         return (next_x.astype(x.dtype), k), None
 
     def window_body(carry, i):
         x, k = carry
         k, k_m, k_n, k_e = jax.random.split(k, 4)
-        v, x0, next_x = base(x, i, k_m)
         sigma = sigmas[i]
         t = sigma * T
-
-        # M re-noised forwards around x̂0 at the current σ (ref guidance block)
-        noises = jax.random.normal(k_n, (cfg.M,) + x0.shape, jnp.float32)
-        keys = jax.random.split(k_e, cfg.M)
-        x_hats = (1.0 - sigma) * x0[None] + sigma * noises
-
-        vs = jax.vmap(lambda xh, kk: velocity_fn(xh.astype(x.dtype), t, kk))(x_hats, keys)
-        vs = vs.astype(jnp.float32)
-
-        if cfg.use_posterior:
-            stacked = jnp.concatenate([vs, v[None]], axis=0)
-            u = jnp.var(stacked, axis=0, ddof=1)
-            inv_var = 1.0 / (u + 1e-20)
-            # the reference passes sigma as "alpha_hat_t" into the posterior
-            post_prec = 1.0 / (cfg.M * inv_var + 1.0 / jnp.maximum(sigma, 1e-6))
-            post_v = post_prec * (inv_var * jnp.sum(stacked, axis=0))
-            b = u.shape[0]
-            q = jnp.quantile(u.reshape(b, -1), cfg.percentile, axis=1).reshape(
-                (b,) + (1,) * (u.ndim - 1)
-            )
-            mask = (u > q).astype(jnp.float32)
-            v_new = v * (1.0 - mask) + post_v * mask
-        else:
-            u = jnp.var(vs, axis=0, ddof=1)
-            b = u.shape[0]
-            q = jnp.quantile(u.reshape(b, -1), cfg.percentile, axis=1).reshape(
-                (b,) + (1,) * (u.ndim - 1)
-            )
-            mask = (u > q).astype(jnp.float32)
-            v_new = v + cfg.lr * u * mask  # gradient-free surrogate update
-
+        v = velocity_fn(x, t, k_m).astype(jnp.float32)
+        v_new, u = _guided_velocity(velocity_fn, x, v, sigma, t, cfg, k_n, k_e, sequential=False)
         next_x = x.astype(jnp.float32) + (sigmas[i + 1] - sigma) * v_new
         return (next_x.astype(x.dtype), k), u
 
@@ -147,9 +205,9 @@ def sample_flow_match_stepwise(
     """Host-loop twin of ``sample_flow_match`` for the multi-billion-param
     families (SD3.5-large, Flux): only ``velocity_fn`` needs to be jitted
     (once — reused by plain and ensemble steps), so a 28-step run compiles
-    one forward program instead of one whole-loop program. Bitwise-identical
-    RNG stream and update math to the scan version (same split pattern per
-    step), verified by test."""
+    one forward program instead of one whole-loop program. Identical RNG
+    stream and update math to the scan version (same split pattern per step;
+    ensemble members run sequentially), verified by test."""
 
     sig_host = _sigmas(cfg)
     sigmas = jnp.asarray(sig_host)
@@ -172,35 +230,7 @@ def sample_flow_match_stepwise(
             continue
         key, k_m, k_n, k_e = jax.random.split(key, 4)
         v = velocity_fn(x, t, k_m).astype(jnp.float32)
-        x0 = x.astype(jnp.float32) - sigma * v
-        noises = jax.random.normal(k_n, (cfg.M,) + x0.shape, jnp.float32)
-        keys = jax.random.split(k_e, cfg.M)
-        vs = jnp.stack(
-            [
-                velocity_fn(((1.0 - sigma) * x0 + sigma * noises[m]).astype(x_T.dtype), t, keys[m])
-                for m in range(cfg.M)
-            ]
-        ).astype(jnp.float32)
-        if cfg.use_posterior:
-            stacked = jnp.concatenate([vs, v[None]], axis=0)
-            u = jnp.var(stacked, axis=0, ddof=1)
-            inv_var = 1.0 / (u + 1e-20)
-            post_prec = 1.0 / (cfg.M * inv_var + 1.0 / jnp.maximum(sigma, 1e-6))
-            post_v = post_prec * (inv_var * jnp.sum(stacked, axis=0))
-            b = u.shape[0]
-            q = jnp.quantile(u.reshape(b, -1), cfg.percentile, axis=1).reshape(
-                (b,) + (1,) * (u.ndim - 1)
-            )
-            mask = (u > q).astype(jnp.float32)
-            v_new = v * (1.0 - mask) + post_v * mask
-        else:
-            u = jnp.var(vs, axis=0, ddof=1)
-            b = u.shape[0]
-            q = jnp.quantile(u.reshape(b, -1), cfg.percentile, axis=1).reshape(
-                (b,) + (1,) * (u.ndim - 1)
-            )
-            mask = (u > q).astype(jnp.float32)
-            v_new = v + cfg.lr * u * mask
+        v_new, u = _guided_velocity(velocity_fn, x, v, sigma, t, cfg, k_n, k_e, sequential=True)
         u_list.append(u)
         x = (x.astype(jnp.float32) + (sigmas[i + 1] - sigma) * v_new).astype(x_T.dtype)
 

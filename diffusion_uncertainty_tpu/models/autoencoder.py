@@ -39,6 +39,8 @@ class AutoencoderKLConfig:
     in_channels: int = 3
     out_channels: int = 3
     scale_factor: float = 0.18215
+    shift_factor: float = 0.0  # SD3/Flux VAEs shift latents before scaling
+    use_quant_conv: bool = True  # SD3/Flux VAEs drop the (post_)quant convs
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -46,6 +48,25 @@ class AutoencoderKLConfig:
         """The U-ViT paper's ``autoencoder_kl_ema.pth`` config
         (reference ``get_model``, autoencoder.py:463-476)."""
         return AutoencoderKLConfig()
+
+    @staticmethod
+    def sd3_kl() -> "AutoencoderKLConfig":
+        """SD3's 16-channel AutoencoderKL (diffusers sd3 vae config:
+        latent_channels=16, scaling_factor=1.5305, shift_factor=0.0609,
+        use_quant_conv=False) — decodes the latents the MMDiT denoises."""
+        return AutoencoderKLConfig(
+            z_channels=16, embed_dim=16, scale_factor=1.5305, shift_factor=0.0609,
+            use_quant_conv=False,
+        )
+
+    @staticmethod
+    def flux_kl() -> "AutoencoderKLConfig":
+        """Flux's 16-channel AutoencoderKL (scaling_factor=0.3611,
+        shift_factor=0.1159, use_quant_conv=False)."""
+        return AutoencoderKLConfig(
+            z_channels=16, embed_dim=16, scale_factor=0.3611, shift_factor=0.1159,
+            use_quant_conv=False,
+        )
 
     @staticmethod
     def tiny() -> "AutoencoderKLConfig":
@@ -182,8 +203,11 @@ class AutoencoderKL(nn.Module):
         cfg = self.cfg
         encoder = _Encoder(cfg, name="encoder")
         decoder = _Decoder(cfg, name="decoder")
-        quant = nn.Conv(2 * cfg.embed_dim, (1, 1), dtype=cfg.dtype, name="quant_conv")
-        post_quant = nn.Conv(cfg.z_channels, (1, 1), dtype=cfg.dtype, name="post_quant_conv")
+        if cfg.use_quant_conv:
+            quant = nn.Conv(2 * cfg.embed_dim, (1, 1), dtype=cfg.dtype, name="quant_conv")
+            post_quant = nn.Conv(cfg.z_channels, (1, 1), dtype=cfg.dtype, name="post_quant_conv")
+        else:  # SD3/Flux-style VAE: moments come straight from the encoder
+            quant = post_quant = lambda h: h
 
         def encode_moments(x):
             return quant(encoder(x)).astype(jnp.float32)
@@ -192,10 +216,10 @@ class AutoencoderKL(nn.Module):
             mean, logvar = jnp.split(moments, 2, axis=-1)
             logvar = jnp.clip(logvar, -30.0, 20.0)
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(k, mean.shape, jnp.float32)
-            return cfg.scale_factor * z
+            return cfg.scale_factor * (z - cfg.shift_factor)
 
         def decode(z):
-            z = post_quant((z / cfg.scale_factor).astype(cfg.dtype))
+            z = post_quant((z / cfg.scale_factor + cfg.shift_factor).astype(cfg.dtype))
             return decoder(z).astype(jnp.float32)
 
         if fn == "init":

@@ -712,11 +712,11 @@ def convert_autoencoder_kl(state_dict: dict, cfg) -> dict:
     dec["norm_out_bias"] = sd.take("decoder.norm_out.bias")
     dec["conv_out"] = _conv(sd, "decoder.conv_out")
 
-    P = {
-        "encoder": enc,
-        "decoder": dec,
-        "quant_conv": _conv(sd, "quant_conv"),
-        "post_quant_conv": _conv(sd, "post_quant_conv"),
-    }
+    P = {"encoder": enc, "decoder": dec}
+    # SD3/Flux VAEs (``AutoencoderKLConfig.sd3_kl``/``flux_kl``) drop the
+    # (post_)quant convs — their diffusers checkpoints have no such keys
+    if getattr(cfg, "use_quant_conv", True):
+        P["quant_conv"] = _conv(sd, "quant_conv")
+        P["post_quant_conv"] = _conv(sd, "post_quant_conv")
     sd.finish()
     return {"params": P}

@@ -146,6 +146,7 @@ def _pallas_gn(x, gamma, beta, scale_v, shift_v, num_groups, eps, apply_silu, ha
     if (
         h * w * c * 4 > _VMEM_SLAB_LIMIT
         and b % 8 == 0  # N rides the sublane dim; N=1 pads 8x and blows VMEM
+        and (h * w) % 8 == 0  # HWNC grid tiles HW in multiples of 8 rows
         and os.environ.get("DU_TPU_GN_HWNC", "1") != "0"
     ):
         # Layout-native path for the big UNet levels: view the tensor as

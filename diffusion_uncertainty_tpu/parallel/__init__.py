@@ -14,5 +14,6 @@ from .tp import (  # noqa: F401
     mmdit_tp_spec,
     flux_tp_spec,
     uvit_tp_spec,
+    make_uvit_tp_spec,
     sd_unet_tp_spec,
 )

@@ -33,6 +33,7 @@ __all__ = [
     "mmdit_tp_spec",
     "flux_tp_spec",
     "uvit_tp_spec",
+    "make_uvit_tp_spec",
     "sd_unet_tp_spec",
 ]
 
@@ -55,10 +56,22 @@ def _path_str(path) -> str:
 
 
 def param_shardings(params, spec_fn: Callable[[str, tuple], P], mesh: Mesh):
-    """Tree of NamedShardings from a (path, shape) -> PartitionSpec rule."""
+    """Tree of NamedShardings from a (path, shape) -> PartitionSpec rule.
+
+    Validates divisibility: any dim whose size does not divide evenly by its
+    mesh axis would be silently padded by GSPMD — we replicate that param
+    instead (numerics identical) and warn once."""
+    import warnings
 
     def one(path, leaf):
         spec = spec_fn(_path_str(path), leaf.shape)
+        for dim, axis in zip(leaf.shape, tuple(spec) + (None,) * (len(leaf.shape) - len(spec))):
+            if axis is not None and dim % mesh.shape[axis] != 0:
+                warnings.warn(
+                    f"{_path_str(path)}: dim {dim} not divisible by mesh axis "
+                    f"'{axis}' ({mesh.shape[axis]}); replicating instead of padding"
+                )
+                return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
@@ -135,10 +148,11 @@ def flux_tp_spec(path: str, shape: tuple) -> P:
 
 
 def uvit_tp_spec(path: str, shape: tuple) -> P:
-    """TP rule for ``models.uvit.UViT`` (fused qkv is K-major then head-major:
-    a 'model' shard of the 3D output dim keeps whole q/k/v thirds only when
-    heads % shards == 0 AND the qkv matrix is split per-third — so we shard
-    the qkv output dim only when divisible by 3*shards; callers validate)."""
+    """TP rule for ``models.uvit.UViT``. The fused qkv is K-major then
+    head-major: a 'model' shard of its 3D output dim keeps whole q/k/v thirds
+    only when the dim divides by 3*shards — this bare rule shards it
+    unconditionally; use ``make_uvit_tp_spec(shards)`` for the validated rule
+    that replicates qkv otherwise."""
     if path.endswith(("attn/qkv/kernel", "mlp_fc1/kernel")):
         return _col(shape)
     if path.endswith(("attn/qkv/bias", "mlp_fc1/bias")):
@@ -146,6 +160,23 @@ def uvit_tp_spec(path: str, shape: tuple) -> P:
     if path.endswith(("attn/proj/kernel", "mlp_fc2/kernel", "skip_linear/kernel")):
         return _row(shape)
     return P()
+
+
+def make_uvit_tp_spec(shards: int) -> Callable[[str, tuple], P]:
+    """``uvit_tp_spec`` with the fused-qkv divisibility check bound to a shard
+    count: the 3D qkv output dim is sharded only when divisible by 3*shards
+    (whole q/k/v thirds per chip); otherwise that param stays replicated —
+    numerics identical, and it avoids the mid-third reshard collectives a
+    misaligned split would force."""
+
+    def spec(path: str, shape: tuple) -> P:
+        if path.endswith(("attn/qkv/kernel", "attn/qkv/bias")) and (
+            shape[-1] % (3 * shards) != 0
+        ):
+            return P()
+        return uvit_tp_spec(path, shape)
+
+    return spec
 
 
 def sd_unet_tp_spec(path: str, shape: tuple) -> P:

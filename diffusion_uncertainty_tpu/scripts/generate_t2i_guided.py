@@ -207,6 +207,11 @@ def run_flow_match_family(cfg: Config) -> int:
     fm = FlowMatchConfig(
         num_inference_steps=cfg.num_steps,
         shift=3.0,
+        # Flux uses the dynamic exponential shift keyed on the 2x2-packed
+        # token count (ref pipeline_flux_uncertainty.py:181-198); SD3 keeps
+        # the constant shift=3.0 schedule.
+        use_dynamic_shifting=is_flux,
+        image_seq_len=(latent_size // 2) ** 2 if is_flux else 0,
         after_step=cfg.start_step_threshold,
         num_steps_uc=cfg.num_steps_threshold,
         M=cfg.M,
@@ -226,18 +231,37 @@ def run_flow_match_family(cfg: Config) -> int:
     with open(dest / "args.yaml", "w") as f:
         yaml.safe_dump(dataclasses.asdict(cfg), f)
 
+    # VAE decode (16-channel SD3/Flux AutoencoderKL) when weights are given;
+    # otherwise the saved PNGs are raw latent channels — named latent_preview
+    # to make the random-init limitation explicit (no real weights here).
+    decode = None
+    if cfg.vae_weights and not tiny:
+        from ..models import AutoencoderKL, AutoencoderKLConfig
+        from ..models.convert import convert_autoencoder_kl
+
+        acfg = AutoencoderKLConfig.flux_kl() if is_flux else AutoencoderKLConfig.sd3_kl()
+        ae = AutoencoderKL(acfg)
+        aparams = convert_autoencoder_kl(load_torch_state_dict(cfg.vae_weights), acfg)
+        decode = lambda z: ae.apply(aparams, z, "decode")
+
+    def to_png(sample):
+        if decode is not None:
+            return np.asarray(decode(sample))
+        return np.asarray(sample[..., :3])
+
+    stem = "flux" if is_flux else "sd3"
+    img_stem = stem if decode is not None else f"latent_preview_{stem}"
+
     vf = velocity_fn(params)
     xT = jax.random.normal(jax.random.key(cfg.seed), x0.shape)
     res = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), fm)
-    save_png(dest / ("output_flux_uc.png" if is_flux else "output_sd3_uc.png"),
-             np.asarray(res.sample[..., :3]))
+    save_png(dest / f"output_{img_stem}_uc.png", to_png(res.sample))
     if res.uncertainty is not None:
         np.savez(dest / "uncertainty.npz", data=np.asarray(res.uncertainty))
 
     if not cfg.skip_original:
         plain = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), dc.replace(fm, num_steps_uc=0))
-        save_png(dest / ("output_flux.png" if is_flux else "output_sd3.png"),
-                 np.asarray(plain.sample[..., :3]))
+        save_png(dest / f"output_{img_stem}.png", to_png(plain.sample))
     log.info("saved to %s", dest)
     print(f"Saved to {dest}")
     return 0

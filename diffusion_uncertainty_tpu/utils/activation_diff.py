@@ -33,6 +33,7 @@ __all__ = [
     "adm_block_diffs",
     "uvit_block_diffs",
     "vae_diffs",
+    "ddim_loop_diff",
     "reference_available",
 ]
 

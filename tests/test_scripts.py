@@ -180,8 +180,10 @@ def test_generate_t2i_guided_flow_match_family(root, model, stem):
     assert rc == 0
     base = paths.sd3_uncertainty_guidance() if stem == "sd3" else paths.flux_uncertainty_guidance()
     run = base / "0"
-    assert (run / f"output_{stem}_uc.png").exists()
-    assert (run / f"output_{stem}.png").exists()
+    # no VAE weights in this environment -> raw latent channels, named
+    # latent_preview_* to make the random-init limitation explicit
+    assert (run / f"output_latent_preview_{stem}_uc.png").exists()
+    assert (run / f"output_latent_preview_{stem}.png").exists()
     assert (run / "uncertainty.npz").exists()
 
 
