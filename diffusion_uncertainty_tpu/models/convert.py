@@ -49,6 +49,7 @@ __all__ = [
     "convert_flux",
     "convert_uvit",
     "convert_autoencoder_kl",
+    "convert_clip_text",
 ]
 
 
@@ -718,5 +719,39 @@ def convert_autoencoder_kl(state_dict: dict, cfg) -> dict:
     if getattr(cfg, "use_quant_conv", True):
         P["quant_conv"] = _conv(sd, "quant_conv")
         P["post_quant_conv"] = _conv(sd, "post_quant_conv")
+    sd.finish()
+    return {"params": P}
+
+
+def convert_clip_text(state_dict: dict, cfg) -> dict:
+    """transformers ``CLIPTextModel`` state dict -> flax ``CLIPTextEncoder``
+    params (the SD1.5 conditioning tower; exercised against a synthetic
+    random-init torch model so real weights convert unmodified the day they
+    are mountable — reference encode_prompt usage,
+    ``pipeline_stable_diffusion_uncertainty_guided.py:577``)."""
+    sd = _SD(state_dict)
+    pfx = "text_model"
+    P: dict = {
+        "token_embedding": {"embedding": sd.take(f"{pfx}.embeddings.token_embedding.weight")},
+        "position_embedding": sd.take(f"{pfx}.embeddings.position_embedding.weight"),
+        "final_layer_norm": _layernorm(sd, f"{pfx}.final_layer_norm"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{pfx}.encoder.layers.{i}"
+        P[f"layer_{i}"] = {
+            "layer_norm1": _layernorm(sd, f"{b}.layer_norm1"),
+            "layer_norm2": _layernorm(sd, f"{b}.layer_norm2"),
+            "self_attn": {
+                "q_proj": _dense(sd, f"{b}.self_attn.q_proj"),
+                "k_proj": _dense(sd, f"{b}.self_attn.k_proj"),
+                "v_proj": _dense(sd, f"{b}.self_attn.v_proj"),
+                "out_proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            },
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    # transformers registers a position_ids buffer in some versions; consume
+    # it so strict accounting passes either way
+    sd.sd.pop(f"{pfx}.embeddings.position_ids", None)
     sd.finish()
     return {"params": P}

@@ -20,7 +20,7 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["encode_prompts", "pseudo_text_embeddings", "SD15_TEXT_DIM", "SD15_TEXT_LEN"]
+__all__ = ["encode_prompts", "encode_tokens_flax", "pseudo_text_embeddings", "SD15_TEXT_DIM", "SD15_TEXT_LEN"]
 
 SD15_TEXT_DIM = 768  # CLIP ViT-L/14 hidden size
 SD15_TEXT_LEN = 77
@@ -44,6 +44,21 @@ def pseudo_text_embeddings(
     return out
 
 
+def encode_tokens_flax(params, input_ids: np.ndarray, cfg=None) -> np.ndarray:
+    """On-device CLIP text encoding: token ids -> [B, L, D] hidden states via
+    the flax ``models.clip_text.CLIPTextEncoder`` (params from
+    ``models.convert.convert_clip_text`` on a transformers state dict —
+    verified against torch in tests/test_models.py). Tokenization stays
+    host-side (``CLIPTokenizer`` vocab files)."""
+    import jax.numpy as jnp
+
+    from ..models import CLIPTextConfig, CLIPTextEncoder
+
+    cfg = cfg or CLIPTextConfig.vit_l_14()
+    hid, _ = CLIPTextEncoder(cfg).apply(params, jnp.asarray(input_ids, jnp.int32))
+    return np.asarray(hid, np.float32)
+
+
 def encode_prompts(
     prompts: Sequence[str],
     negative_prompts: Optional[Sequence[str]] = None,
@@ -55,6 +70,8 @@ def encode_prompts(
     Tries a local/downloaded CLIP text encoder first (``transformers``, torch
     CPU); on failure (zero egress, missing weights) falls back to
     ``pseudo_text_embeddings`` so the pipeline stays exercisable end to end.
+    For fully on-device encoding convert the same weights with
+    ``convert_clip_text`` and call ``encode_tokens_flax``.
     """
     if negative_prompts is None:
         negative_prompts = [""] * len(prompts)

@@ -12,6 +12,8 @@ grids) folded into one CLI with ``--kind``:
   pr_curve             — P&R of uncertainty-sorted groups (ref plot_precision_recall_curves.py)
   sd_prompt_grid       — guided SD outputs, prompts × percentiles (ref make_grid_prompts_stable_diffusion*.py)
   sd_row               — plain-vs-guided rows (ref assemble_row_sd.py)
+  denoising_schedule   — per-timestep uncertainty-map strip of one sample
+                         (ref plot_denoising_schedule.py)
 """
 
 from __future__ import annotations
@@ -45,6 +47,9 @@ class Config:
     k: int = 3
     # sd grids (ref make_grid_prompts_stable_diffusion*.py / assemble_row_sd.py)
     prompt: Optional[str] = None  # filter saved SD runs by prompt
+    # denoising_schedule (ref plot_denoising_schedule.py)
+    stride: int = 5
+    sample_index: int = 0
 
 
 def _plt():
@@ -97,6 +102,29 @@ def plot_uncertainty_maps(cfg, out: Path):
     axes[1, 0].set_title("Σ uncertainty", fontsize=8)
     fig.tight_layout()
     fig.savefig(out, dpi=150)
+
+
+def plot_denoising_schedule(cfg, out: Path):
+    """Per-timestep uncertainty-map strip of one sample, ending in the
+    generated image (reference ``scripts/plot/plot_denoising_schedule.py:36-65``:
+    every ``stride``-th window step, channel-amax, min-max normalize, coolwarm)."""
+    plt = _plt()
+    run = Path(cfg.run_dir)
+    u = load_run_arrays(run, "uncertainty")[cfg.sample_index]  # [W, H, W, C]
+    img = load_run_arrays(run, "gen_images")[cfg.sample_index]
+    u = u[:: cfg.stride]
+    fig, axes = plt.subplots(1, len(u) + 1, figsize=(2.2 * (len(u) + 1), 2.6))
+    for i in range(len(u)):
+        m = u[i].max(axis=-1)  # channel amax (ref :43)
+        m = (m - m.min()) / (m.max() - m.min() + 1e-12)
+        axes[i].imshow(m, cmap="coolwarm")
+        axes[i].set_xlabel(f"step {i * cfg.stride}", fontsize=9)
+        axes[i].set_xticks([]), axes[i].set_yticks([])
+    axes[-1].imshow(img)
+    axes[-1].set_xlabel("generated image", fontsize=9)
+    axes[-1].set_xticks([]), axes[-1].set_yticks([])
+    fig.tight_layout()
+    fig.savefig(out, dpi=150, bbox_inches="tight")
 
 
 def plot_fid_curve(cfg, out: Path):
@@ -272,6 +300,7 @@ _KINDS = {
     "uncertainty_schedule": plot_uncertainty_schedule,
     "image_grid": plot_image_grid,
     "uncertainty_maps": plot_uncertainty_maps,
+    "denoising_schedule": plot_denoising_schedule,
     "fid_curve": plot_fid_curve,
     "times": plot_times,
     "pr_curve": plot_pr_curve,

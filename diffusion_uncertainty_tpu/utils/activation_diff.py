@@ -271,6 +271,107 @@ def uvit_block_diffs(
     return diffs
 
 
+def ddim_loop_diff(
+    cfg=None,
+    T: int = 50,
+    batch: int = 2,
+    seed: int = 0,
+    state_dict: Optional[dict] = None,
+    root: str = REFERENCE_ROOT,
+) -> List[Tuple[str, float]]:
+    """Whole-loop DDIM oracle vs the reference's vendored OpenAI sampler.
+
+    Runs the SAME random-init (or checkpoint) tiny ADM model through the
+    reference's ``ddim_sample_loop_progressive``
+    (``guided_diffusion/gaussian_diffusion.py:479-525,594-634``, eta=0,
+    clip_denoised=True) and through this framework's ``ddim_step`` loop with
+    identical betas, and returns [(t, max|Δ|)] for every intermediate sample.
+    This catches step-math / spacing / ᾱ-boundary drift that per-block
+    forward diffs cannot (the OpenAI loop re-derives eps from the CLIPPED
+    x̂0 — our ``use_clipped_model_output=True``; ᾱ_prev past t=0 is 1.0 —
+    our ``set_alpha_to_one=True``).
+    """
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.ddim import DiffusionConfig, ddim_step
+    from ..diffusion.schedule import make_betas, make_schedule
+    from ..models import ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_unet
+
+    if cfg is None:
+        cfg = ADMUNetConfig.tiny()
+    assert cfg.out_channels == cfg.in_channels, "oracle needs an eps-only head"
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+    gd = import_reference("guided_diffusion.gaussian_diffusion", root)
+
+    torch.manual_seed(seed)
+    ref = unet_openai.UNetModel(
+        image_size=cfg.image_size,
+        in_channels=cfg.in_channels,
+        model_channels=cfg.model_channels,
+        out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions,
+        dropout=cfg.dropout,
+        channel_mult=cfg.channel_mult,
+        num_classes=cfg.num_classes,
+        use_checkpoint=False,
+        use_fp16=False,
+        num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+    )
+    if state_dict is not None:
+        ref.load_state_dict({k: torch.as_tensor(v) for k, v in state_dict.items()})
+    ref.eval()
+
+    betas = np.asarray(make_betas("linear", T), np.float64)
+    diffusion = gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.FIXED_SMALL,
+        loss_type=gd.LossType.MSE,
+    )
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, cfg.image_size, cfg.image_size, cfg.in_channels).astype(np.float32)
+    y = rs.randint(0, cfg.num_classes, (batch,)) if cfg.num_classes else None
+    kwargs = {"y": torch.from_numpy(y)} if y is not None else {}
+    ref_traj: List[np.ndarray] = []
+    with torch.no_grad():
+        for out in diffusion.ddim_sample_loop_progressive(
+            ref,
+            x_T.transpose(0, 3, 1, 2).shape,
+            noise=torch.from_numpy(x_T.transpose(0, 3, 1, 2)),
+            clip_denoised=True,
+            model_kwargs=kwargs,
+            device="cpu",
+            eta=0.0,
+        ):
+            ref_traj.append(_to_nhwc(out["sample"]))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_adm_unet(sd, cfg)
+    model = ADMUNet(cfg)
+    schedule = make_schedule(trained_betas=betas, set_alpha_to_one=True)
+    dcfg = DiffusionConfig(
+        clip_sample=True, clip_sample_range=1.0, use_clipped_model_output=True, eta=0.0
+    )
+    y_j = jnp.asarray(y) if y is not None else None
+    x = jnp.asarray(x_T)
+    diffs: List[Tuple[str, float]] = []
+    for i, t in enumerate(range(T - 1, -1, -1)):
+        eps = model.apply(params, x, jnp.asarray(t, jnp.int32), y_j)
+        step = ddim_step(schedule, x, eps, jnp.asarray(t), jnp.asarray(t - 1), dcfg)
+        x = step.prev_sample
+        diffs.append((f"t={t}", _max_diff(ref_traj[i], np.asarray(x, np.float32))))
+    return diffs
+
+
 def vae_diffs(
     cfg=None,
     batch: int = 1,

@@ -122,3 +122,59 @@ def test_lora_on_sd_unet_inference():
         lora[k]["b"] = jnp.ones_like(lora[k]["b"]) * 0.1
     out = model.apply(apply_lora(params, lora), x, t, ctx)
     assert not np.allclose(np.asarray(out), np.asarray(base))
+
+
+def test_sd_unet_lora_map_resolves_real_param_paths():
+    """Synthetic peft dict with real diffusers module names round-trips onto
+    actual SDUNet param paths (VERDICT r2 #6): every mapped adapter must name
+    an existing 2-D kernel, and apply_lora must change exactly those kernels."""
+    import jax
+
+    from diffusion_uncertainty_tpu.models import SDUNet, SDUNetConfig
+    from diffusion_uncertainty_tpu.scripts.intrinsic_lora_inference import (
+        normalize_lora_keys,
+        sd_unet_lora_map,
+    )
+
+    cfg = SDUNetConfig.tiny()
+    model = SDUNet(cfg)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, cfg.sample_size, cfg.sample_size, cfg.in_channels)),
+        jnp.asarray(0),
+        jnp.zeros((1, 5, cfg.cross_attention_dim)),
+    )
+
+    rng = np.random.RandomState(0)
+    c = 32  # down_0 attention width at the tiny config
+    sd = {}
+    # peft layout + legacy attn-procs layout, q and out projections
+    for mod, layout in [
+        ("down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q", "peft"),
+        ("down_blocks.0.attentions.0.transformer_blocks.0.attn2.processor.to_out_lora", "procs"),
+        ("up_blocks.1.attentions.0.transformer_blocks.0.attn1.processor.to_v_lora", "procs"),
+    ]:
+        a, b = ("lora_A.weight", "lora_B.weight") if layout == "peft" else ("down.weight", "up.weight")
+        # width 32 at both attention sites of the tiny config (down_0 and the
+        # CrossAttnUpBlock2D up_1); self/out projections are square
+        sd[f"{mod}.{a}"] = rng.randn(2, c).astype(np.float32)
+        sd[f"{mod}.{b}"] = rng.randn(c, 2).astype(np.float32)
+
+    lora = convert_peft_lora(normalize_lora_keys(sd), sd_unet_lora_map)
+    assert set(lora) == {
+        "down_0_attn_0/block_0/attn1/to_q",
+        "down_0_attn_0/block_0/attn2/to_out",
+        "up_1_attn_0/block_0/attn1/to_v",
+    }
+    merged = apply_lora(params, lora)
+    changed = []
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(merged)[0]
+    for (pa, la), (_, lb) in zip(flat_a, flat_b):
+        if not np.allclose(np.asarray(la), np.asarray(lb)):
+            changed.append("/".join(str(getattr(p, "key", p)) for p in pa))
+    assert sorted(changed) == [
+        "params/down_0_attn_0/block_0/attn1/to_q/kernel",
+        "params/down_0_attn_0/block_0/attn2/to_out/kernel",
+        "params/up_1_attn_0/block_0/attn1/to_v/kernel",
+    ]

@@ -178,3 +178,41 @@ def test_adm_split_skip_equals_concat(adm_tiny, monkeypatch):
     monkeypatch.setenv("DU_TPU_SPLIT_SKIP", "0")
     out_concat = model.apply(params, x, t, y)
     np.testing.assert_allclose(np.asarray(out_split), np.asarray(out_concat), rtol=1e-5, atol=1e-5)
+
+
+def test_clip_text_encoder_matches_transformers():
+    """Flax CLIP text tower vs transformers torch CLIPTextModel on a synthetic
+    random-init state dict (VERDICT r2 #9: real-CLIP readiness — when weights
+    are mountable, convert_clip_text consumes them unmodified)."""
+    import dataclasses
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import CLIPTextConfig, CLIPTextEncoder
+    from diffusion_uncertainty_tpu.models.convert import convert_clip_text
+
+    cfg = dataclasses.replace(CLIPTextConfig.tiny(), eos_token_id=7)
+    hf = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="quick_gelu", eos_token_id=7,
+    )
+    torch.manual_seed(0)
+    ref = transformers.CLIPTextModel(hf).eval()
+    params = convert_clip_text({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, cfg.max_position_embeddings))
+    ids[:, -1] = 7  # every sequence carries the eos token
+    with torch.no_grad():
+        out = ref(torch.from_numpy(ids))
+    hid, pooled = CLIPTextEncoder(cfg).apply(params, np.asarray(ids, np.int32))
+    np.testing.assert_allclose(
+        np.asarray(hid), out.last_hidden_state.numpy(), atol=5e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.pooler_output.numpy(), atol=5e-5, rtol=1e-4
+    )

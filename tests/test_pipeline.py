@@ -144,6 +144,10 @@ def test_plot_scripts(root, bundle):
     for kind in ("uncertainty_schedule", "image_grid", "uncertainty_maps"):
         out = plot_main(["--kind", kind, "--run-dir", str(run_dir), "--num-images", "4"])
         assert out.exists() and out.stat().st_size > 0, kind
+    # per-timestep strip (ref plot_denoising_schedule.py): stride through the
+    # window steps of one sample
+    out = plot_main(["--kind", "denoising_schedule", "--run-dir", str(run_dir), "--stride", "1"])
+    assert out.exists() and out.stat().st_size > 0
 
 
 def test_unknown_plot_kind(root):

@@ -1,0 +1,56 @@
+"""Numerical-oracle tests against the read-only reference's torch modules.
+
+These run the reference's PyTorch code (imported from /root/reference as a
+numerical oracle — never copied) and the converted flax models side by side
+at random init, so they work in zero-egress environments and become real
+checkpoint-parity tests the day weights can be mounted.
+"""
+
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.utils.activation_diff import (
+    adm_block_diffs,
+    ddim_loop_diff,
+    reference_available,
+    uvit_block_diffs,
+    vae_diffs,
+)
+
+needs_ref = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+pytest.importorskip("torch")
+
+
+@needs_ref
+def test_adm_per_block_forward_matches_reference():
+    diffs = adm_block_diffs()
+    worst = max(d for _, d in diffs)
+    assert worst < 1e-4, diffs
+
+
+@needs_ref
+def test_uvit_per_block_forward_matches_reference():
+    diffs = uvit_block_diffs()
+    worst = max(d for _, d in diffs)
+    assert worst < 1e-4, diffs
+
+
+@needs_ref
+def test_vae_matches_reference():
+    diffs = vae_diffs()
+    worst = max(d for _, d in diffs)
+    assert worst < 1e-4, diffs
+
+
+@needs_ref
+def test_ddim_whole_loop_matches_reference_openai_sampler():
+    """Trajectory oracle: the full DDIM loop (30 steps, every intermediate
+    sample) against the reference's vendored OpenAI ddim_sample_loop
+    (guided_diffusion/gaussian_diffusion.py:479-525). Catches step-math,
+    spacing, and ᾱ-boundary drift that per-block forward diffs cannot."""
+    diffs = ddim_loop_diff(T=30)
+    assert len(diffs) == 30
+    worst = max(d for _, d in diffs)
+    assert worst < 1e-4, diffs

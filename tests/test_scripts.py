@@ -201,3 +201,17 @@ def test_plot_ause_vs_m(root):
             f.write(json.dumps({"M": m, "ause": a, "aurg": 0.1}) + "\n")
     out = plot_main(["--kind", "ause_m", "--dataset", "tiny"])
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_intrinsic_lora_inference_tiny(root):
+    """Intrinsic-LoRA single-image inference path end-to-end at the tiny
+    config (ref intrinsic_lora/inference_sd_single.py protocol: one forward
+    at t=T-1, VAE decode, depth postprocess)."""
+    pytest.importorskip("PIL")
+    from diffusion_uncertainty_tpu.scripts.intrinsic_lora_inference import main
+    from diffusion_uncertainty_tpu.utils import paths
+
+    rc = main(["--model", "tiny", "--task", "depth", "--size", "16"])
+    assert rc == 0
+    dest = paths.results() / "intrinsic_lora" / "depth" / "predicted"
+    assert (dest / "synthetic_depth.png").exists()
