@@ -44,7 +44,10 @@ class Config:
     use_posterior: bool = False
     strength: float = 0.99  # reference --strength -> guidance lr
     # model plumbing (this framework)
-    model: str = "sd15"  # sd15 | sd21 | tiny | sd3 | sd3-tiny | flux | flux-tiny
+    model: str = "sd15"  # sd15 | sd21 | tiny | sd3 | sd3-tiny | sd35 | flux | flux-tiny
+    streamed: bool = False  # host-resident params + per-block jit (full-size
+    # Flux-dev 11.9B / SD3.5-large 8.1B on ONE chip; forces the stepwise
+    # sampler and posterior guidance — see pipelines/streamed.py)
     guidance_scale: float = 7.5
     M: int = 5
     unet_weights: Optional[str] = None  # diffusers UNet state dict (torch file)
@@ -152,7 +155,12 @@ def run_flow_match_family(cfg: Config) -> int:
     else:
         from ..models import MMDiT, MMDiTConfig
 
-        mcfg = MMDiTConfig.tiny() if tiny else dc.replace(MMDiTConfig.sd3_medium(), dtype=dtype)
+        if tiny:
+            mcfg = MMDiTConfig.tiny()
+        elif cfg.model == "sd35":
+            mcfg = dc.replace(MMDiTConfig.sd35_large(), dtype=dtype)
+        else:
+            mcfg = dc.replace(MMDiTConfig.sd3_medium(), dtype=dtype)
         model = MMDiT(mcfg)
         latent_size = mcfg.sample_size if tiny else cfg.height // 8
         channels = mcfg.in_channels
@@ -171,7 +179,29 @@ def run_flow_match_family(cfg: Config) -> int:
     )
 
     x0 = jnp.zeros((b, latent_size, latent_size, channels))
-    if cfg.unet_weights:
+    streamed_exec = None
+    if cfg.streamed:
+        # host-resident params + per-block jit: the ONLY way Flux-dev (11.9B,
+        # 23.8GB bf16) or SD3.5-large (8.1B) runs on one 16GB chip
+        from ..pipelines.streamed import (
+            StreamedFlux,
+            StreamedMMDiT,
+            random_flux_params,
+            random_mmdit_params,
+        )
+
+        if cfg.unet_weights:
+            params = convert(load_torch_state_dict(cfg.unet_weights), mcfg)
+        elif cfg.random_init or tiny:
+            params = (
+                random_flux_params(mcfg, seq_txt=16, latent=latent_size)
+                if is_flux
+                else random_mmdit_params(mcfg, seq_txt=16)
+            )
+        else:
+            raise SystemExit("need --unet-weights or --random-init true (no network egress)")
+        streamed_exec = (StreamedFlux if is_flux else StreamedMMDiT)(mcfg, params)
+    elif cfg.unet_weights:
         params = convert(load_torch_state_dict(cfg.unet_weights), mcfg)
     elif cfg.random_init or tiny:
         g0 = jnp.asarray(1000.0) if is_flux and mcfg.guidance_embeds else None
@@ -183,22 +213,26 @@ def run_flow_match_family(cfg: Config) -> int:
         raise SystemExit("need --unet-weights or --random-init true (no network egress)")
 
     def velocity_fn(p):
+        if streamed_exec is not None:
+            apply = lambda *a: streamed_exec(*a)
+        else:
+            apply = lambda *a: model.apply(p, *a)
         if is_flux:
             g = jnp.asarray(cfg.guidance_scale * 1000.0) if mcfg.guidance_embeds else None
 
             def fn(x, t, key):
-                return model.apply(p, x, t, ctx, pooled, g)
+                return apply(x, t, ctx, pooled, g)
 
         else:
             scale = cfg.guidance_scale
 
             def fn(x, t, key):
                 if scale <= 1.0:
-                    return model.apply(p, x, t, ctx, pooled)
+                    return apply(x, t, ctx, pooled)
                 x2 = jnp.concatenate([x, x], axis=0)
                 c2 = jnp.concatenate([uncond_ctx, ctx], axis=0)
                 p2 = jnp.concatenate([uncond_pooled, pooled], axis=0)
-                v2 = model.apply(p, x2, t, c2, p2)
+                v2 = apply(x2, t, c2, p2)
                 vu, vc = jnp.split(v2, 2, axis=0)
                 return vu + scale * (vc - vu)
 
@@ -254,13 +288,32 @@ def run_flow_match_family(cfg: Config) -> int:
 
     vf = velocity_fn(params)
     xT = jax.random.normal(jax.random.key(cfg.seed), x0.shape)
-    res = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), fm)
+    if cfg.streamed:
+        # gradient mode would trace through the streamed executor and embed
+        # host block params as constants (relay limit); posterior is exact here
+        if not cfg.use_posterior and cfg.num_steps_threshold > 0:
+            log.warning("streamed mode forces posterior guidance (see pipelines/streamed.py)")
+            fm = dc.replace(fm, use_posterior=True)
+        from ..diffusion.flow_match import sample_flow_match_stepwise as _sampler
+    else:
+        _sampler = sample_flow_match
+    import time as _time
+
+    t0 = _time.perf_counter()
+    res = _sampler(vf, xT, jax.random.key(cfg.seed + 1), fm)
+    jax.block_until_ready(res.sample)
+    t_guided = _time.perf_counter() - t0
+    n_fwd = cfg.num_steps + min(cfg.num_steps_threshold, cfg.num_steps) * cfg.M
+    print(
+        f"guided sampling: {t_guided:.1f}s for {cfg.num_steps} steps "
+        f"(~{n_fwd} forwards, {t_guided / max(n_fwd, 1):.2f}s/forward)"
+    )
     save_png(dest / f"output_{img_stem}_uc.png", to_png(res.sample))
     if res.uncertainty is not None:
         np.savez(dest / "uncertainty.npz", data=np.asarray(res.uncertainty))
 
     if not cfg.skip_original:
-        plain = sample_flow_match(vf, xT, jax.random.key(cfg.seed + 1), dc.replace(fm, num_steps_uc=0))
+        plain = _sampler(vf, xT, jax.random.key(cfg.seed + 1), dc.replace(fm, num_steps_uc=0))
         save_png(dest / f"output_{img_stem}.png", to_png(plain.sample))
     log.info("saved to %s", dest)
     print(f"Saved to {dest}")
