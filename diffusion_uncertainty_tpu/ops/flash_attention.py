@@ -27,11 +27,18 @@ _NEG_INF = -1e30
 
 
 def supports(shape: tuple[int, ...], dtype) -> bool:
-    """True when (B, S, H, D) meets the kernel's tiling constraints."""
+    """True when (B, S, H, D) meets the kernel's tiling constraints.
+
+    S rides the SUBLANE dim of the K/V blocks, so short sequences only need
+    8-alignment (bq=bk=S, one K/V tile): this is what keeps ADM's 8×8 level
+    (S=64) on the kernel instead of falling back to XLA. Long sequences tile
+    in 256-row blocks and need 128-alignment."""
     if len(shape) != 4:
         return False
     _, s, _, d = shape
-    if s % _LANE != 0 or s < _LANE:
+    if s < 8 or s % 8 != 0:
+        return False
+    if s > 256 and s % _LANE != 0:
         return False
     if d > 512:
         return False

@@ -99,6 +99,13 @@ class StreamedFlux:
     )
     HEAD_GUIDANCE = ("guidance_dense_0", "guidance_dense_1")
 
+    # Async dispatch would otherwise let the host loop enqueue EVERY block
+    # transfer ahead of execution (observed: ~3 forwards x 23.8GB of pending
+    # device_put buffers resident on the host before the chip drained one);
+    # waiting on the block output every THROTTLE blocks bounds in-flight
+    # transfers to a few GB with no loss of compute/transfer overlap.
+    THROTTLE = 4
+
     def __init__(self, cfg: FluxConfig, params):
         self.cfg = cfg
         p = _unwrap(params)
@@ -179,6 +186,8 @@ class StreamedFlux:
                 nxt = jax.device_put(self.sblocks[0])
             h, ctx = self._double(cur, h, ctx, temb, cos, sin)
             del cur
+            if i % self.THROTTLE == self.THROTTLE - 1:
+                h.block_until_ready()
 
         seq = jnp.concatenate([ctx, h], axis=1)
         for i in range(cfg.num_single_layers):
@@ -187,6 +196,8 @@ class StreamedFlux:
                 nxt = jax.device_put(self.sblocks[i + 1])
             seq = self._single(cur, seq, temb, cos, sin)
             del cur
+            if i % self.THROTTLE == self.THROTTLE - 1:
+                seq.block_until_ready()
         h = seq[:, s_txt:]
         return self._final(self.head, h, temb, hh // 2, ww // 2, c)
 
@@ -197,6 +208,8 @@ class StreamedMMDiT:
 
     HEAD = ("patch_embed", "pos_embed", "time_text_embed", "context_embedder",
             "norm_out_linear", "proj_out")
+
+    THROTTLE = 4  # see StreamedFlux.THROTTLE
 
     def __init__(self, cfg: MMDiTConfig, params):
         self.cfg = cfg
@@ -264,6 +277,8 @@ class StreamedMMDiT:
             fn = self._last if i == cfg.num_layers - 1 else self._mid
             h, ctx = fn(cur, h, ctx, temb)
             del cur
+            if i % self.THROTTLE == self.THROTTLE - 1:
+                h.block_until_ready()
         pp = cfg.patch_size
         return self._final(self.head, h, temb, hh // pp, ww // pp)
 

@@ -32,9 +32,22 @@ def test_flash_attention_head_dim_padding():
 
 def test_supports_predicate():
     assert supports((2, 256, 4, 64), jnp.float32)
-    assert not supports((2, 100, 4, 64), jnp.float32)  # ragged seq
-    assert not supports((2, 64, 4, 64), jnp.float32)  # too short
+    assert not supports((2, 100, 4, 64), jnp.float32)  # ragged seq (not 8-aligned)
+    assert supports((2, 64, 4, 64), jnp.float32)  # short seq rides sublanes
+    assert not supports((2, 384 + 8, 4, 64), jnp.float32)  # long needs 128-align
     assert not supports((2, 256, 4, 64), jnp.int8)
+
+
+def test_flash_attention_short_sequence_matches_xla():
+    """S=64 (ADM's 8x8 attention level) runs the kernel with bq=bk=S instead
+    of falling back to XLA (round-2 perf weak #1)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(k1, (3, 64, 4, 64), jnp.float32)
+    k = jax.random.normal(k2, (3, 64, 4, 64), jnp.float32)
+    v = jax.random.normal(k3, (3, 64, 4, 64), jnp.float32)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_group_norm_silu_fallback_matches_flax():
