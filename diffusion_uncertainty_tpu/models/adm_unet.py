@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.groupnorm import group_norm_silu
-from .layers import AttentionBlock, nearest_upsample, timestep_embedding, zeros_init
+from .layers import AttentionBlock, avg_pool_2x, nearest_upsample, timestep_embedding, zeros_init
 
 Dtype = Any
 
@@ -208,8 +208,8 @@ class ResBlock(nn.Module):
                 h = nearest_upsample(h)
                 x = nearest_upsample(x)
             elif self.down:
-                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                h = avg_pool_2x(h)
+                x = avg_pool_2x(x)
             h = conv(self.out_channels, "in_conv")(h)
         else:
             c1, c2, gs = split
@@ -249,7 +249,7 @@ class _Downsample(nn.Module):
     def __call__(self, x):
         if self.use_conv:
             return nn.Conv(x.shape[-1], (3, 3), strides=2, padding=1, dtype=self.dtype, name="op")(x)
-        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return avg_pool_2x(x)
 
 
 class _Upsample(nn.Module):

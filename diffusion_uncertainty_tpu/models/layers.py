@@ -126,8 +126,16 @@ def nearest_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2 stride-2 average pool (NHWC) — ADM's non-conv Downsample."""
-    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+    """2×2 stride-2 average pool (NHWC) — ADM's non-conv Downsample.
+
+    Written as slice-adds instead of ``lax.reduce_window``: the window op was
+    profiled at ~4x its streaming ideal on the 128² level (2.6 ms/forward on
+    ADM-128 b48), while the equivalent strided-slice formulation fuses into a
+    single elementwise kernel."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    s = (x[:, :, 0, :, 0] + x[:, :, 0, :, 1]) + (x[:, :, 1, :, 0] + x[:, :, 1, :, 1])
+    return s * jnp.asarray(0.25, x.dtype)
 
 
 class AttentionBlock(nn.Module):

@@ -47,23 +47,28 @@ def supports(shape: tuple[int, ...], dtype) -> bool:
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
     # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
-    q = q_ref[0].astype(jnp.float32) * scale
+    # Matmul inputs stay in the storage dtype (bf16 for the model zoo): the
+    # v5e MXU runs bf16 at ~4x its f32 rate, and an all-f32 QK'/PV pair was
+    # profiled at 3.4x over the attention roofline on the ADM 32² sites.
+    # Accumulation and the softmax stay f32 (preferred_element_type below).
+    q = q_ref[0]
     bq, dp = q.shape
     nk = seq_len // bk
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * bk, bk), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k = k_ref[0, pl.ds(i * bk, bk), :]
+        v = v_ref[0, pl.ds(i * bk, bk), :]
+        s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        )  # [bq, bk] f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc_new, m_new, l_new
 
@@ -117,6 +122,29 @@ def _flash_attention(
     bq = min(bq, s)
     bk = min(bk, s)
     scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
+
+    if d % _LANE == 0:
+        # Lane-aligned head_dim: attend straight out of the [B, S, H·D]
+        # packing the qkv projection produces — the head axis becomes a grid
+        # dimension whose block offset selects the head's lane slice, so the
+        # [B,S,H,D] -> [B,H,S,D] fold transposes (6 materialized ~50MB copies
+        # per 32² site) disappear entirely.
+        qf = q.reshape(b, s, h * d)
+        kf = k.reshape(b, s, h * d)
+        vf = v.reshape(b, s, h * d)
+        out = pl.pallas_call(
+            functools.partial(_kernel, bk=bk, scale=scale, seq_len=s),
+            grid=(b, h, s // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, s, h * d), q.dtype),
+            interpret=jax.devices()[0].platform != "tpu",
+        )(qf, kf, vf)
+        return out.reshape(b, s, h, d)
 
     dp = ((d + _LANE - 1) // _LANE) * _LANE
 

@@ -41,6 +41,10 @@ import os as _os
 # whole-slab one even where the slab would fit VMEM.
 _VMEM_SLAB_LIMIT = int(_os.environ.get("DU_TPU_GN_SLAB_LIMIT", 128 * 1024))
 _TILE_BUDGET = int(_os.environ.get("DU_TPU_GN_TILE_BUDGET", 1536 * 1024))
+# f32 compute-chunk cap inside the HWNC kernel (see _hwnc_kernel): with the
+# f32 buffers bounded here, the bf16 streaming tile can grow past the old
+# 1.5MB ceiling without blowing the 16MB scoped-vmem limit
+_CHUNK_BUDGET = int(_os.environ.get("DU_TPU_GN_CHUNK_BUDGET", 512 * 1024))
 
 
 def _reference_impl(x, gamma, beta, num_groups, eps, scale, shift, apply_silu):
@@ -253,7 +257,7 @@ def _fused_gn(xg, gamma_g, beta_g, scale_g, shift_g, num_groups, eps, apply_silu
     return fused(xg, gamma_g, beta_g, scale_g, shift_g)
 
 
-def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows):
+def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows, chunk):
     """Two-pass GN over an [HW, N, C] view, all batches per grid step.
 
     Phase 0 accumulates per-(N, C) sum/sum² over HW tiles into VMEM scratch;
@@ -261,12 +265,18 @@ def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, 
     A = inv·γ·(1+s), B = (β − mean·inv·γ)·(1+s)+t — so the per-element work in
     phase 1 collapses to one fused multiply-add (+SiLU), ~40% fewer VPU ops
     than normalizing with mean/inv/γ/β separately (the big levels are
-    VPU-bound, not HBM-bound)."""
+    VPU-bound, not HBM-bound).
+
+    Both phases walk the tile in ``chunk``-row slices so the f32 temporaries
+    never exceed ~chunk·N·C·4 bytes: the f32 copies of a whole tile were what
+    capped the bf16 tile at 1.5MB under the 16MB scoped-vmem limit (a 2MB
+    tile compiled to a 19.1MB scoped allocation). Chunking decouples tile
+    size (HBM streaming efficiency) from compute-buffer size."""
     phase = pl.program_id(0)
     it = pl.program_id(1)
-    x = x_ref[...].astype(jnp.float32)  # [tile, N, C]
-    _, n, c = x.shape
+    tile, n, c = x_ref.shape
     gs = c // num_groups
+    nch = tile // chunk
 
     @pl.when(jnp.logical_and(phase == 0, it == 0))
     def _():
@@ -275,8 +285,13 @@ def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, 
 
     @pl.when(phase == 0)
     def _():
-        acc1[...] += jnp.sum(x, axis=0)
-        acc2[...] += jnp.sum(x * x, axis=0)
+        def body(i, _):
+            xc = x_ref[pl.ds(i * chunk, chunk)].astype(jnp.float32)
+            acc1[...] += jnp.sum(xc, axis=0)
+            acc2[...] += jnp.sum(xc * xc, axis=0)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
 
     @pl.when(jnp.logical_and(phase == 1, it == 0))
     def _():
@@ -308,10 +323,18 @@ def _hwnc_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, 
 
     @pl.when(phase == 1)
     def _():
-        y = x * acc1[...][None] + acc2[...][None]
-        if apply_silu:
-            y = y * jax.nn.sigmoid(y)
-        o_ref[...] = y.astype(o_ref.dtype)
+        a_nc = acc1[...][None]
+        b_nc = acc2[...][None]
+
+        def body(i, _):
+            xc = x_ref[pl.ds(i * chunk, chunk)].astype(jnp.float32)
+            y = xc * a_nc + b_nc
+            if apply_silu:
+                y = y * jax.nn.sigmoid(y)
+            o_ref[pl.ds(i * chunk, chunk)] = y.astype(o_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, nch, body, 0)
 
 
 def _fused_gn_hwnc_impl(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, apply_silu, has_ss):
@@ -323,10 +346,15 @@ def _fused_gn_hwnc_impl(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, 
     while tile * 2 <= hw and hw % (tile * 2) == 0 and tile * 2 * n * c * 2 <= _TILE_BUDGET:
         tile *= 2
     nt = hw // tile
+    # f32 compute-chunk rows: bounds the kernel's f32 temporaries independently
+    # of the streaming tile (see _hwnc_kernel docstring)
+    chunk = tile
+    while chunk > 1 and chunk % 2 == 0 and chunk * n * c * 4 > _CHUNK_BUDGET:
+        chunk //= 2
     return pl.pallas_call(
         functools.partial(
             _hwnc_kernel, num_groups=num_groups, eps=eps, apply_silu=apply_silu,
-            has_ss=has_ss, n_rows=hw,
+            has_ss=has_ss, n_rows=hw, chunk=chunk,
         ),
         grid=(2, nt),
         in_specs=[

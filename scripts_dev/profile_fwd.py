@@ -1,0 +1,130 @@
+"""Profile ONE ADM-128 b48 forward on the chip and attribute device time.
+
+Captures a jax.profiler trace of a few compiled forwards, parses the xplane
+proto (tensorboard_plugin_profile), and prints leaf-op wall time grouped by
+kernel family — the data behind ROADMAP's perf attribution table.
+
+    python scripts_dev/profile_fwd.py [batch]
+"""
+
+import collections
+import dataclasses
+import glob
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from diffusion_uncertainty_tpu.models import ADMUNet, ADMUNetConfig
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+
+
+def main():
+    cfg = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
+    model = ADMUNet(cfg)
+    x = jnp.zeros((B, 128, 128, 3), jnp.bfloat16)
+    t = jnp.asarray(500, jnp.int32)
+    y = jnp.zeros((B,), jnp.int32)
+    shapes = jax.eval_shape(lambda k: model.init(k, x, t, y), jax.random.key(0))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def materialize(key):
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(
+            treedef,
+            [
+                (0.02 * jax.random.normal(k, s.shape, s.dtype)).astype(
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+                )
+                for k, s in zip(keys, leaves)
+            ],
+        )
+
+    params = materialize(jax.random.key(0))
+
+    fwd = jax.jit(lambda p, xx: model.apply(p, xx, t, y)[..., :3])
+    xr = jax.random.normal(jax.random.key(1), x.shape, jnp.bfloat16)
+    out = fwd(params, xr)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fwd(params, xr)
+    float(jnp.sum(out[0, 0, 0]))
+    per_fwd = (time.perf_counter() - t0) / 3
+    print(f"forward wall: {per_fwd*1e3:.1f} ms", file=sys.stderr)
+
+    tmp = tempfile.mkdtemp(prefix="xprof_")
+    jax.profiler.start_trace(tmp)
+    for _ in range(3):
+        out = fwd(params, xr)
+    float(jnp.sum(out[0, 0, 0]))
+    jax.profiler.stop_trace()
+
+    files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
+    print(f"xplane: {files}", file=sys.stderr)
+    # load the xplane proto module directly (importing `tensorflow` itself
+    # fails in this image; the generated pb2 only needs protobuf)
+    import importlib.util
+    import site
+
+    pb2_path = None
+    for sp in site.getsitepackages():
+        cand = f"{sp}/tensorflow/tsl/profiler/protobuf/xplane_pb2.py"
+        import os
+
+        if os.path.exists(cand):
+            pb2_path = cand
+            break
+    spec = importlib.util.spec_from_file_location("xplane_pb2", pb2_path)
+    xplane_pb2 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xplane_pb2)
+
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[0], "rb").read())
+    groups = collections.Counter()
+    total = 0.0
+    per_op = collections.Counter()
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+            continue
+        ev_meta = plane.event_metadata
+        for line in plane.lines:
+            lname = line.name.lower()
+            # only compute streams; skip host threads and DMA bookkeeping lines
+            if "step" in lname or "xla op" in lname or "host" in lname:
+                continue
+            for ev in line.events:
+                name = ev_meta[ev.metadata_id].name
+                dur = ev.duration_ps / 1e12
+                total += dur
+                per_op[name] += dur
+                n = name.lower()
+                if "conv" in n:
+                    groups["conv"] += dur
+                elif "hwnc_kernel" in n or "group_norm" in n or "tiled_kernel" in n or "gn" in n:
+                    groups["pallas_gn"] += dur
+                elif "attn" in n or "attention" in n or "softmax" in n:
+                    groups["attention"] += dur
+                elif "transpose" in n or "copy" in n or "bitcast" in n:
+                    groups["layout/copy"] += dur
+                elif "fusion" in n:
+                    groups["fusion_other"] += dur
+                else:
+                    groups["other"] += dur
+    print(f"\ntotal device time over 3 fwd: {total*1e3:.1f} ms ({total/3*1e3:.1f}/fwd)")
+    for k, v in groups.most_common():
+        print(f"  {k:14s} {v/3*1e3:8.2f} ms/fwd")
+    print("\ntop 25 ops:")
+    for name, v in per_op.most_common(25):
+        print(f"  {v/3*1e3:8.3f} ms  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
