@@ -29,7 +29,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.groupnorm import group_norm_silu
-from .layers import AttentionBlock, avg_pool_2x, nearest_upsample, timestep_embedding, zeros_init
+from .layers import (
+    AttentionBlock,
+    Conv3x3,
+    avg_pool_2x,
+    nearest_upsample,
+    timestep_embedding,
+    zeros_init,
+)
 
 Dtype = Any
 
@@ -138,6 +145,22 @@ class _SplitInputConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (k, k, c_in, self.features), jnp.float32
         ).astype(self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if k == 3:
+            # two Winograd partial convs, the second fusing the first as its
+            # residual epilogue (falls back to lax.conv per-partial inside)
+            from ..ops.winograd_conv import conv3x3_winograd
+
+            ya = conv3x3_winograd(
+                a.astype(self.dtype),
+                kernel[:, :, : a.shape[-1], :],
+                jnp.zeros((self.features,), self.dtype),
+            )
+            return conv3x3_winograd(
+                b.astype(self.dtype),
+                kernel[:, :, a.shape[-1] :, :],
+                bias.astype(self.dtype),
+                res=ya,
+            )
         dn = jax.lax.conv_dimension_numbers(a.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         pad = [(k // 2, k // 2)] * 2
         ya = jax.lax.conv_general_dilated(
@@ -191,10 +214,10 @@ class ResBlock(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 skip = None
         c_in = x.shape[-1] if split is None else split[0] + split[1]
-        conv = lambda ch, name, init=None: nn.Conv(
+        # Conv3x3 routes through the Winograd pallas kernel (2.25× fewer MXU
+        # FLOPs than direct conv); param tree identical to nn.Conv
+        conv = lambda ch, name, init=None: Conv3x3(
             ch,
-            (3, 3),
-            padding=1,
             dtype=self.dtype,
             kernel_init=init or nn.initializers.lecun_normal(),
             name=name,
@@ -232,13 +255,13 @@ class ResBlock(nn.Module):
             h = h + emb_out[:, None, None, :].astype(h.dtype)
             h = group_norm_silu(h, gamma, beta)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = conv(self.out_channels, "out_conv", zeros_init())(h)
 
+        # residual path first, so the add fuses into out_conv's epilogue
         if split is not None:
             x = _SplitInputConv(self.out_channels, 1, dtype=self.dtype, name="skip")(x, skip)
         elif c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
-        return x + h
+        return conv(self.out_channels, "out_conv", zeros_init())(h, res=x)
 
 
 class _Downsample(nn.Module):
@@ -260,7 +283,7 @@ class _Upsample(nn.Module):
     def __call__(self, x):
         x = nearest_upsample(x)
         if self.use_conv:
-            x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="op")(x)
+            x = Conv3x3(x.shape[-1], dtype=self.dtype, name="op")(x)
         return x
 
 

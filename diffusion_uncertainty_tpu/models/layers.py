@@ -25,6 +25,7 @@ __all__ = [
     "AttentionBlock",
     "nearest_upsample",
     "avg_pool_2x",
+    "Conv3x3",
 ]
 
 
@@ -136,6 +137,31 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     s = (x[:, :, 0, :, 0] + x[:, :, 0, :, 1]) + (x[:, :, 1, :, 0] + x[:, :, 1, :, 1])
     return s * jnp.asarray(0.25, x.dtype)
+
+
+class Conv3x3(nn.Module):
+    """3×3 stride-1 SAME conv routed through the Winograd F(2,3) pallas
+    kernel (``ops/winograd_conv.py``), with an optional fused residual-add
+    epilogue. Param tree is identical to ``nn.Conv(features, (3, 3))`` —
+    ``kernel [3,3,Cin,K]`` + ``bias [K]`` — so checkpoints convert unchanged.
+    Unsupported shapes fall back to ``lax.conv`` inside the op."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x, res=None):
+        from ..ops.winograd_conv import conv3x3_winograd
+
+        kernel = self.param(
+            "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features), jnp.float32
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        return conv3x3_winograd(
+            x, kernel, bias.astype(self.dtype), None if res is None else res.astype(self.dtype)
+        )
 
 
 class AttentionBlock(nn.Module):
