@@ -214,8 +214,9 @@ class ResBlock(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 skip = None
         c_in = x.shape[-1] if split is None else split[0] + split[1]
-        # Conv3x3 routes through the Winograd pallas kernel (2.25× fewer MXU
-        # FLOPs than direct conv); param tree identical to nn.Conv
+        # Conv3x3 can route through the Winograd pallas kernel (opt-in via
+        # DU_TPU_WINOGRAD=1; measured slower than XLA's direct conv on v5e —
+        # see ops/winograd_conv.py); param tree identical to nn.Conv
         conv = lambda ch, name, init=None: Conv3x3(
             ch,
             dtype=self.dtype,

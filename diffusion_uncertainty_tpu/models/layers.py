@@ -140,11 +140,13 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Conv3x3(nn.Module):
-    """3×3 stride-1 SAME conv routed through the Winograd F(2,3) pallas
-    kernel (``ops/winograd_conv.py``), with an optional fused residual-add
-    epilogue. Param tree is identical to ``nn.Conv(features, (3, 3))`` —
-    ``kernel [3,3,Cin,K]`` + ``bias [K]`` — so checkpoints convert unchanged.
-    Unsupported shapes fall back to ``lax.conv`` inside the op."""
+    """3×3 stride-1 SAME conv, routable through the Winograd F(2,3) pallas
+    kernel (``ops/winograd_conv.py``, opt-in via ``DU_TPU_WINOGRAD=1`` —
+    measured slower than XLA's direct conv on v5e), with an optional fused
+    residual-add epilogue. Param tree is identical to
+    ``nn.Conv(features, (3, 3))`` — ``kernel [3,3,Cin,K]`` + ``bias [K]`` —
+    so checkpoints convert unchanged. Defaults to ``lax.conv`` inside the
+    op, which XLA fuses with the epilogue exactly as it would ``nn.Conv``."""
 
     features: int
     dtype: Dtype = jnp.float32

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.groupnorm import group_norm_silu
-from .layers import nearest_upsample, timestep_embedding
+from .layers import Conv3x3, nearest_upsample, timestep_embedding
 from .unet2d import ResnetBlock2D
 
 Dtype = Any
@@ -246,7 +246,7 @@ class SDUNet(nn.Module):
                     h = transformer(n_levels - 1 - bi, f"up_{bi}_attn_{li}")(h, ctx)
             if bi != len(cfg.up_block_types) - 1:
                 h = nearest_upsample(h)
-                h = nn.Conv(out_ch, (3, 3), padding=1, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
+                h = Conv3x3(out_ch, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
 
         h = group_norm_silu(
             h,

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.groupnorm import group_norm_silu
-from .layers import nearest_upsample, timestep_embedding, zeros_init
+from .layers import Conv3x3, nearest_upsample, timestep_embedding, zeros_init
 
 Dtype = Any
 
@@ -91,7 +91,7 @@ class ResnetBlock2D(nn.Module):
             num_groups=self.groups,
             eps=1e-6,
         )
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :].astype(h.dtype)
         h = group_norm_silu(
@@ -102,10 +102,10 @@ class ResnetBlock2D(nn.Module):
             eps=1e-6,
         )
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
-        return x + h
+        # residual add fused into the Winograd conv epilogue
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h, res=x)
 
 
 class SelfAttention2D(nn.Module):
@@ -215,7 +215,7 @@ class UNet2D(nn.Module):
                     )(h)
             if bi != len(cfg.up_block_types) - 1:
                 h = nearest_upsample(h)
-                h = nn.Conv(out_ch, (3, 3), padding=1, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
+                h = Conv3x3(out_ch, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
 
         h = group_norm_silu(
             h,

@@ -8,6 +8,19 @@ tile from a 4×4 input tile with 16 multiply-accumulates per output instead of
 ``guided_diffusion/unet_openai.py`` ResBlocks are wall-to-wall 3×3/stride-1
 convs, which makes them the ~65% of forward time this kernel attacks.
 
+**Measured verdict (v5e-1, scripts_dev/wino_microbench.py): direct conv
+wins; this kernel is OPT-IN (``DU_TPU_WINOGRAD=1``).** At the ADM-128 b48
+site shapes the kernel lands at 1.4–2× the in-model direct-conv roofline
+(e.g. 128²×256→256: 7.6 ms at M=128 / 8.5 ms at M=64 vs 4.7 ms roofline),
+and raising the MXU operand rows from 64 to 128 only bought ~10% — the MXU
+pipelines the 16 tile matmuls regardless, so the real costs are the
+NHWC↔HWNC transposes at the kernel boundary (~2 ms), the f32 tile
+transforms on the VPU, and the kc-chunked re-streaming of x. The 2.25×
+FLOP saving buys ~2.6 ms of MXU time back, which those taxes more than
+consume at every level. Kept as a measured negative result + working
+kernel; the dispatch gate below reproduces this verdict from a roofline
+model so any future shape that genuinely clears it still routes.
+
 Structure (all per ``pallas_call`` grid step):
 
 * the input is viewed as ``[H, W, N, C]`` (the same free-bitcast conv-native
@@ -51,9 +64,9 @@ _TH = int(_os.environ.get("DU_TPU_WINO_TH", 4))
 # target rows of the [t_r*wc*nb, C] MXU operand; 64 balances MXU occupancy
 # against the f32 transform temporaries (d alone is 64·M·C bytes)
 _M_TARGET = int(_os.environ.get("DU_TPU_WINO_M", 64))
-# pipeline-buffer VMEM budget (the rest of the 16MB scoped limit is left for
-# the kernel's f32 transform temporaries, which scale with wc·nb·C)
-_VMEM_BUDGET = int(_os.environ.get("DU_TPU_WINO_VMEM", 11 * 1024 * 1024))
+# total scoped-VMEM budget for pipeline buffers + f32 transform temporaries
+# (16MB hardware scoped limit minus slop for compiler-managed values)
+_VMEM_BUDGET = int(_os.environ.get("DU_TPU_WINO_VMEM", 15_000_000))
 # MXU input dtype; f32 only for exactness tests (DU_TPU_WINO_MXU_F32=1)
 _MXU_DTYPE = jnp.float32 if _os.environ.get("DU_TPU_WINO_MXU_F32") else jnp.bfloat16
 
@@ -69,22 +82,22 @@ def _tile_params(n, h, w, c, k, has_res):
 
     nb = batch slice per grid step, wc = output tile-column chunk of the
     inner loop, kc = output-channel slice. Preference: biggest kc first
-    (fewest re-fetches of x), nb 8 -> 4, wc aimed at M = t_r*wc*nb ≈ the
-    MXU target."""
+    (fewest re-fetches of x), then wc aimed at M = t_r*wc*nb ≈ the MXU
+    target, shrunk while the pipeline buffers PLUS the kernel's f32
+    transform temporaries (d tiles + MXU accumulators, ∝ wc·nb·(c+kc))
+    exceed the scoped-VMEM budget."""
     t_r = _TH // 2
+    best = None
+    best_score = float("inf")
     for kc in (256, 128):
         if k % kc or kc % 128:
             continue
         for nb in (8, 4):
-            if n % nb:
-                continue
-            wc = max(1, _M_TARGET // (t_r * nb))
-            while wc > 1 and (w // 2) % wc:
-                wc //= 2
-            if (w // 2) % wc:
+            # Mosaic requires block dims[-2] % 8 == 0 or == the array dim
+            if n % nb or (nb % 8 and nb != n):
                 continue
             bpe = 2  # bf16 storage
-            vmem = (
+            pipe = (
                 2 * _TH * w * nb * c * bpe  # x (double-buffered)
                 + 2 * _TH * w * nb * kc * bpe  # out
                 + (2 * _TH * w * nb * kc * bpe if has_res else 0)
@@ -92,9 +105,35 @@ def _tile_params(n, h, w, c, k, has_res):
                 + 2 * (w + 2) * nb * c * bpe  # halo + bot
                 + 16 * c * kc * (4 if _MXU_DTYPE == jnp.float32 else 2)  # u
             )
-            if vmem <= _VMEM_BUDGET:
-                return nb, wc, kc
-    return None
+            wc = max(1, _M_TARGET // (t_r * nb))
+            while wc > 1 and (w // 2) % wc:
+                wc //= 2
+            while wc >= 1:
+                if (w // 2) % wc == 0:
+                    # f32 temporaries: 16 d tiles + 16 MXU accumulators,
+                    # each [t_r, wc, nb, ·]
+                    temp = 16 * t_r * wc * nb * (c + kc) * 4
+                    if pipe + temp <= _VMEM_BUDGET:
+                        m = t_r * wc * nb  # MXU operand rows
+                        # roofline score (seconds-ish): MXU pays full
+                        # 128-row passes for m < 128; x re-streams k//kc
+                        # times; out/res stream once
+                        flops = 2 * 16 * (h * w // 4) * n * c * k * max(128 / m, 1.0)
+                        bytes_ = 2 * h * w * n * (c * (k // kc) + k * (2 if has_res else 1))
+                        score = flops / 197e12 + bytes_ / 819e9
+                        if score < best_score:
+                            best, best_score = (nb, wc, kc), score
+                        break
+                wc //= 2
+    # not worth it if direct conv's roofline beats the best tiling (e.g. a
+    # row-padded MXU at tiny wc erases the 2.25x FLOP saving);
+    # DU_TPU_WINO_NOGATE=1 skips the check (microbench measurement mode)
+    direct = (2 * 9 * h * w * n * c * k) / 197e12 + (
+        2 * h * w * n * (c + k * (2 if has_res else 1))
+    ) / 819e9
+    if best is not None and best_score >= direct and not _os.environ.get("DU_TPU_WINO_NOGATE"):
+        return None
+    return best
 
 
 def supports(x_shape, w_shape, stride, dilation, has_res=False) -> bool:
@@ -400,10 +439,12 @@ def conv3x3_winograd(
     Routes to the Winograd pallas kernel when supported, else to XLA. The
     vmap rule folds mapped axes into the batch dim (the default pallas
     batching rule would multiply every VMEM block by the ensemble size M)."""
+    # OPT-IN: measured slower than XLA's in-model direct conv at every ADM
+    # site shape on v5e (see module docstring); flip with DU_TPU_WINOGRAD=1
     if use_pallas is None:
         use_pallas = (
             jax.devices()[0].platform == "tpu"
-            and _os.environ.get("DU_TPU_WINOGRAD", "1") != "0"
+            and _os.environ.get("DU_TPU_WINOGRAD", "0") == "1"
         )
     if not use_pallas or not supports(x.shape, w.shape, (1, 1), (1, 1)):
         return _reference_conv(x, w, b, res)

@@ -261,13 +261,25 @@ def _drive(cfg: Config, argv_rest) -> int:
         rc = subprocess.run(base_args + ["--phase", "build"]).returncode
         if rc:
             return rc
+    # resume: steps already recorded in steps.jsonl (with state.npz present)
+    # are not re-run, so an interrupted drive continues where it stopped
+    steps_f = Path(cfg.out_dir) / "steps.jsonl"
+    done = set()
+    if steps_f.exists() and (Path(cfg.out_dir) / "state.npz").exists():
+        done = {json.loads(l)["step"] for l in steps_f.read_text().splitlines()}
     for i in range(cfg.num_steps):
+        if i in done:
+            log.info("step %d/%d already recorded, skipping", i, cfg.num_steps)
+            continue
         log.info("step %d/%d (own process)…", i, cfg.num_steps)
         rc = subprocess.run(base_args + ["--phase", "step", "--step-index", str(i)]).returncode
         if rc:
             return rc
-    recs = [json.loads(l) for l in (Path(cfg.out_dir) / "steps.jsonl").read_text().splitlines()]
-    recs = recs[-cfg.num_steps:]
+    by_step = {}
+    for l in (Path(cfg.out_dir) / "steps.jsonl").read_text().splitlines():
+        r = json.loads(l)
+        by_step[r["step"]] = r  # last record per step wins
+    recs = [by_step[i] for i in range(cfg.num_steps)]
     total_fwd = sum(r["forwards"] for r in recs)
     total_s = sum(r["seconds"] for r in recs)
     meta = json.loads((cache / "meta.json").read_text())

@@ -97,8 +97,9 @@ def main():
         ev_meta = plane.event_metadata
         for line in plane.lines:
             lname = line.name.lower()
-            # only compute streams; skip host threads and DMA bookkeeping lines
-            if "step" in lname or "xla op" in lname or "host" in lname:
+            # keep the "XLA Ops" leaf line; skip module aggregates, steps,
+            # host threads and DMA bookkeeping lines
+            if "xla op" not in lname:
                 continue
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name

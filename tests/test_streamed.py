@@ -139,3 +139,30 @@ def test_streamed_flux_drives_stepwise_sampler():
     res = sample_flow_match_stepwise(vfn, xT, jax.random.key(6), fm)
     assert res.sample.shape == xT.shape
     assert res.uncertainty is not None and bool(jnp.isfinite(res.sample).all())
+
+
+def test_capability_drive_resumes_recorded_steps(tmp_path):
+    """The capability driver skips steps already recorded in steps.jsonl (an
+    interrupted multi-hour full-size run must not redo finished forwards)."""
+    import json
+
+    from diffusion_uncertainty_tpu.scripts.streamed_t2i_capability import _drive, Config
+
+    cache = tmp_path / "cache"
+    out = tmp_path / "out"
+    cache.mkdir()
+    out.mkdir()
+    (cache / "meta.json").write_text(json.dumps({"model": "flux", "n_params": 42}))
+    recs = [
+        {"step": i, "in_window": i >= 1, "forwards": 1 + (i >= 1),
+         "seconds": 10.0 * (i + 1), "sec_per_forward": 5.0, "finite": True}
+        for i in range(3)
+    ]
+    (out / "steps.jsonl").write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+    np.savez(out / "state.npz", x=np.zeros((1, 2, 2, 4)), key=np.zeros(2, np.uint32))
+
+    cfg = Config(model="flux", cache_dir=str(cache), out_dir=str(out), num_steps=3)
+    assert _drive(cfg, []) == 0  # no subprocess launched: all steps recorded
+    summary = json.loads((out / "capability.json").read_text())
+    assert summary["steps"] == 3 and summary["forwards"] == 5
+    assert summary["total_seconds"] == 60.0 and summary["all_finite"]
