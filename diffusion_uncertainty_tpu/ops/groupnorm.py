@@ -147,12 +147,30 @@ def _pallas_gn(x, gamma, beta, scale_v, shift_v, num_groups, eps, apply_silu, ha
     import os
 
     b, h, w, c = x.shape
-    if (
+    hwnc_ok = (
         h * w * c * 4 > _VMEM_SLAB_LIMIT
         and b % 8 == 0  # N rides the sublane dim; N=1 pads 8x and blows VMEM
         and (h * w) % 8 == 0  # HWNC grid tiles HW in multiples of 8 rows
         and os.environ.get("DU_TPU_GN_HWNC", "1") != "0"
-    ):
+    )
+    if hwnc_ok and os.environ.get("DU_TPU_GN_STATS_ONLY", "1") != "0":
+        # 1R stats kernel + consumer-fused normalize (see _stats_kernel)
+        xv = x.transpose(1, 2, 0, 3).reshape(h * w, b, c)
+        a_nc, b_nc = _gn_stats_hwnc(
+            xv, gamma.reshape(1, c), beta.reshape(1, c), scale_v, shift_v,
+            num_groups, eps, has_ss,
+        )
+        # FMA in the input dtype: an f32 normalize chain makes XLA materialize
+        # 2x-byte f32 intermediates in HBM (profiled +14 ms/fwd on ADM-128
+        # b48); in-model activations are bf16 and one extra bf16 rounding of
+        # the affine coefficients is below the model's own storage rounding
+        a_c = a_nc.astype(x.dtype)[:, None, None, :]
+        b_c = b_nc.astype(x.dtype)[:, None, None, :]
+        y = x * a_c + b_c
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+    if hwnc_ok:
         # Layout-native path for the big UNet levels: view the tensor as
         # [HW, N, C]. Convs on these levels produce NHWC arrays with layout
         # {3,0,2,1} (C minor, then N) — physically identical to a row-major
@@ -405,6 +423,130 @@ def _fused_gn_hwnc(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, apply
         return jnp.moveaxis(out, 1, 0), True
 
     return fused(xv, gamma_g, beta_g, scale_v, shift_v)
+
+
+def _stats_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, a_ref, b_ref, acc1, acc2, *, num_groups, eps, has_ss, n_rows, chunk, nt):
+    """Stats-only pass over the [HW, N, C] view: ONE streamed read of x,
+    emitting the per-(N, C) fused-affine coefficients A/B of the HWNC kernel
+    (A = inv·γ·(1+s), B = (β − mean·inv·γ)·(1+s)+t). The normalize+SiLU is
+    then plain XLA elementwise in the caller, which fuses into the consuming
+    convolution's input read — the conv is MXU-bound at these shapes, so the
+    per-element FMA+SiLU rides under the matmul time and the 1R+1W the
+    two-pass kernel spent materializing the normalized tensor disappears."""
+    it = pl.program_id(0)
+    tile, n, c = x_ref.shape
+    gs = c // num_groups
+    nch = tile // chunk
+
+    @pl.when(it == 0)
+    def _():
+        acc1[...] = jnp.zeros_like(acc1)
+        acc2[...] = jnp.zeros_like(acc2)
+
+    def body(i, _):
+        xc = x_ref[pl.ds(i * chunk, chunk)].astype(jnp.float32)
+        acc1[...] += jnp.sum(xc, axis=0)
+        acc2[...] += jnp.sum(xc * xc, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+
+    @pl.when(it == nt - 1)
+    def _():
+        ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+        gr = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+        m = (ch // gs == gr).astype(jnp.float32)
+        cnt = float(n_rows * gs)
+        dot = lambda a, bm: jax.lax.dot_general(
+            a, bm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        s1 = dot(acc1[...], m)  # [N, G]
+        s2 = dot(acc2[...], m)
+        mean_g = s1 / cnt
+        var_g = s2 / cnt - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + eps)
+        mean_c = dot(mean_g, m.T)  # [N, C]
+        inv_c = dot(inv_g, m.T)
+        gam = gamma_ref[0].astype(jnp.float32)[None, :]
+        bet = beta_ref[0].astype(jnp.float32)[None, :]
+        a_nc = inv_c * gam
+        b_nc = bet - mean_c * a_nc
+        if has_ss:
+            one_s = 1.0 + scale_ref[...].astype(jnp.float32)
+            a_nc = a_nc * one_s
+            b_nc = b_nc * one_s + shift_ref[...].astype(jnp.float32)
+        a_ref[...] = a_nc
+        b_ref[...] = b_nc
+
+
+def _gn_stats_hwnc_impl(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, has_ss):
+    hw, n, c = xv.shape
+    tile = 8
+    while tile * 2 <= hw and hw % (tile * 2) == 0 and tile * 2 * n * c * 2 <= _TILE_BUDGET:
+        tile *= 2
+    nt = hw // tile
+    chunk = tile
+    while chunk > 1 and chunk % 2 == 0 and chunk * n * c * 4 > _CHUNK_BUDGET:
+        chunk //= 2
+    return pl.pallas_call(
+        functools.partial(
+            _stats_kernel, num_groups=num_groups, eps=eps, has_ss=has_ss,
+            n_rows=hw, chunk=chunk, nt=nt,
+        ),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((tile, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, c), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, c), jnp.float32),
+        ],
+        interpret=jax.devices()[0].platform != "tpu",
+    )(xv, gamma_g, beta_g, scale_v, shift_v)
+
+
+def _gn_stats_hwnc(xv, gamma_g, beta_g, scale_v, shift_v, num_groups, eps, has_ss):
+    """HWNC-view GN stats with the same fold-into-N vmap rule as the full
+    kernel (statistics are per-(N, C); extra mapped members are more N rows)."""
+
+    @jax.custom_batching.custom_vmap
+    def stats(x, g, bta, sc, sh):
+        return _gn_stats_hwnc_impl(x, g, bta, sc, sh, num_groups, eps, has_ss)
+
+    @stats.def_vmap
+    def _rule(axis_size, in_batched, x, g, bta, sc, sh):  # noqa: ANN001
+        xb, gb, bb, scb, shb = in_batched
+        if gb or bb or not xb:
+            raise NotImplementedError("unsupported GN batching pattern")
+        hw = x.shape[1]
+
+        def fold_nc(a, batched):  # [V?, N, C] -> [V*N, C]
+            if batched:
+                return a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:])
+            return jnp.broadcast_to(a[None], (axis_size,) + a.shape).reshape(
+                (axis_size * a.shape[0],) + a.shape[1:]
+            )
+
+        x2 = jnp.moveaxis(x, 0, 1).reshape(hw, -1, x.shape[-1])
+        a_nc, b_nc = stats(x2, g, bta, fold_nc(sc, scb), fold_nc(sh, shb))
+        a_nc = a_nc.reshape(axis_size, -1, a_nc.shape[-1])
+        b_nc = b_nc.reshape(axis_size, -1, b_nc.shape[-1])
+        return (a_nc, b_nc), (True, True)
+
+    return stats(xv, gamma_g, beta_g, scale_v, shift_v)
 
 
 def _tiled_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, acc1, acc2, *, num_groups, eps, apply_silu, has_ss, n_rows):

@@ -92,36 +92,40 @@ def main():
     total = 0.0
     per_op = collections.Counter()
     for plane in xs.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower():
+        if plane.name != "/device:TPU:0":
             continue
         ev_meta = plane.event_metadata
+        st_meta = plane.stat_metadata
         for line in plane.lines:
-            lname = line.name.lower()
-            # keep the "XLA Ops" leaf line; skip module aggregates, steps,
-            # host threads and DMA bookkeeping lines
-            if "xla op" not in lname:
+            # the leaf-op line; "XLA Modules" aggregates would double-count
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = ev_meta[ev.metadata_id].name
+                md = ev_meta[ev.metadata_id]
+                cat = None
+                for s in md.stats:
+                    if st_meta[s.metadata_id].name == "hlo_category":
+                        cat = s.str_value
+                if cat in ("async-start", "async-done"):
+                    continue  # overlapped DMA bookkeeping, not device time
+                name = md.name
                 dur = ev.duration_ps / 1e12
                 total += dur
                 per_op[name] += dur
                 n = name.lower()
-                if "conv" in n:
-                    groups["conv"] += dur
-                elif "hwnc_kernel" in n or "group_norm" in n or "tiled_kernel" in n or "gn" in n:
+                if "flash_attention" in n:
+                    groups["pallas_attention"] += dur
+                elif cat == "custom-call":
                     groups["pallas_gn"] += dur
-                elif "attn" in n or "attention" in n or "softmax" in n:
-                    groups["attention"] += dur
-                elif "transpose" in n or "copy" in n or "bitcast" in n:
+                elif cat == "convolution fusion":
+                    groups["conv_fusion"] += dur
+                elif cat in ("data formatting",) or "transpose" in n or "copy" in (cat or ""):
                     groups["layout/copy"] += dur
-                elif "fusion" in n:
-                    groups["fusion_other"] += dur
                 else:
-                    groups["other"] += dur
+                    groups[cat or "other"] += dur
     print(f"\ntotal device time over 3 fwd: {total*1e3:.1f} ms ({total/3*1e3:.1f}/fwd)")
     for k, v in groups.most_common():
-        print(f"  {k:14s} {v/3*1e3:8.2f} ms/fwd")
+        print(f"  {k:20s} {v/3*1e3:8.2f} ms/fwd")
     print("\ntop 25 ops:")
     for name, v in per_op.most_common(25):
         print(f"  {v/3*1e3:8.3f} ms  {name[:110]}")

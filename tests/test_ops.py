@@ -128,6 +128,32 @@ def test_group_norm_hwnc_vmap_folds_into_n(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("stats_only", ["0", "1"])
+def test_group_norm_stats_only_both_branches(monkeypatch, stats_only):
+    """The 1R stats kernel + consumer-fused normalize must match the two-pass
+    HWNC kernel and the jnp reference, in both env-knob positions, with and
+    without the scale-shift epilogue and under a mapped ensemble axis."""
+    import diffusion_uncertainty_tpu.ops.groupnorm as gnm
+
+    monkeypatch.setattr(gnm, "_VMEM_SLAB_LIMIT", 1)  # force the HWNC family
+    monkeypatch.setenv("DU_TPU_GN_STATS_ONLY", stats_only)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(8, 16, 16, 256).astype(np.float32))
+    g = jnp.asarray(rng.randn(256).astype(np.float32))
+    b = jnp.asarray(rng.randn(256).astype(np.float32))
+    sc = jnp.asarray(rng.randn(8, 256).astype(np.float32) * 0.1)
+    sh = jnp.asarray(rng.randn(8, 256).astype(np.float32) * 0.1)
+    out = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=True)
+    ref = gnm.group_norm_silu(x, g, b, scale=sc, shift=sh, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    xm = jnp.asarray(rng.randn(2, 8, 8, 8, 128).astype(np.float32))
+    gm = jnp.asarray(rng.randn(128).astype(np.float32))
+    bm = jnp.asarray(rng.randn(128).astype(np.float32))
+    outm = jax.vmap(lambda xx: gnm.group_norm_silu(xx, gm, bm, use_pallas=True))(xm)
+    refm = jax.vmap(lambda xx: gnm.group_norm_silu(xx, gm, bm, use_pallas=False))(xm)
+    np.testing.assert_allclose(np.asarray(outm), np.asarray(refm), rtol=2e-5, atol=2e-5)
+
+
 def test_cross_attention_falls_back_to_xla():
     """Cross-attention (kv shorter than q, the SD text context) must not hit
     the flash kernel — caught live: the kernel folds K/V with Q's sequence
