@@ -45,6 +45,47 @@ def supports(shape: tuple[int, ...], dtype) -> bool:
     return dtype in (jnp.float32, jnp.bfloat16)
 
 
+def _kernel_whole_row(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
+    # K/V for the whole sequence are already VMEM-resident (the BlockSpecs
+    # below load [1, S, dp]), so for the model zoo's short rows (S ≤ 2048)
+    # the online-softmax block loop buys nothing and costs real VPU time:
+    # per-block running max/sum cross-lane reductions plus an [bq, dp] f32
+    # accumulator rescale per K block. One [bq, S] f32 logits tile (≤ 2 MB)
+    # with a single max/exp/sum pass was profiled measurably faster on the
+    # ADM 32² sites. Logits never touch HBM either way.
+    q = q_ref[0]
+    s = scale * jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, S] f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+# Whole-row kernel VMEM budget: K/V double-buffered blocks + one f32 logits
+# tile must stay well inside the 16 MB scoped VMEM at the zoo's worst
+# head_dim (256). S ≤ 2048 keeps the total under ~8 MB.
+_WHOLE_ROW_MAX_S = 2048
+
+
+def _pick_kernel(s: int, bk: int, scale: float, whole_row: bool):
+    if whole_row:
+        return functools.partial(_kernel_whole_row, scale=scale)
+    return functools.partial(_kernel, bk=bk, scale=scale, seq_len=s)
+
+
+def _use_whole_row(s: int) -> bool:
+    import os
+
+    return s <= _WHOLE_ROW_MAX_S and os.environ.get("DU_TPU_ATTN_WHOLEROW") != "0"
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
     # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
     # Matmul inputs stay in the storage dtype (bf16 for the model zoo): the
@@ -91,9 +132,13 @@ def flash_attention(
     attention is batch-parallel so the custom rule folds [V,B,S,H,D] into the
     batch axis instead."""
 
+    # the whole-row choice is resolved here (not inside the jitted fn) so the
+    # env knob participates in the jit cache key
+    whole_row = _use_whole_row(q.shape[1])
+
     @jax.custom_batching.custom_vmap
     def call(q_, k_, v_):
-        return _flash_attention(q_, k_, v_, bq=bq, bk=bk)
+        return _flash_attention(q_, k_, v_, bq=bq, bk=bk, whole_row=whole_row)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, q_, k_, v_):  # noqa: ANN001
@@ -110,13 +155,14 @@ def flash_attention(
     return call(q, k, v)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk"))
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "whole_row"))
 def _flash_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
     v: jnp.ndarray,
     bq: int = 256,
     bk: int = 256,
+    whole_row: bool = False,
 ) -> jnp.ndarray:
     b, s, h, d = q.shape
     bq = min(bq, s)
@@ -133,7 +179,7 @@ def _flash_attention(
         kf = k.reshape(b, s, h * d)
         vf = v.reshape(b, s, h * d)
         out = pl.pallas_call(
-            functools.partial(_kernel, bk=bk, scale=scale, seq_len=s),
+            _pick_kernel(s, bk, scale, whole_row),
             grid=(b, h, s // bq),
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
@@ -157,7 +203,7 @@ def _flash_attention(
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bk=bk, scale=scale, seq_len=s),
+        _pick_kernel(s, bk, scale, whole_row),
         grid=(b * h, s // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

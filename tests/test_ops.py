@@ -50,6 +50,21 @@ def test_flash_attention_short_sequence_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_flash_attention_whole_row_matches_loop_kernel(monkeypatch):
+    """S <= 2048 takes the single-pass whole-row softmax kernel; its output
+    must match the online-softmax loop kernel (DU_TPU_ATTN_WHOLEROW=0)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(k1, (2, 256, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (2, 256, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (2, 256, 2, 64), jnp.float32)
+    whole = flash_attention(q, k, v, bq=128, bk=128)
+    monkeypatch.setenv("DU_TPU_ATTN_WHOLEROW", "0")
+    loop = flash_attention(q, k, v, bq=128, bk=128)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(loop), rtol=2e-5, atol=2e-5)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_group_norm_silu_fallback_matches_flax():
     import flax.linen as nn
 
