@@ -124,7 +124,7 @@ def flash_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
     v: jnp.ndarray,
-    bq: int = 256,
+    bq: int | None = None,
     bk: int = 256,
 ) -> jnp.ndarray:
     """vmap-safe wrapper: the default pallas batching rule appends the mapped
@@ -132,9 +132,13 @@ def flash_attention(
     attention is batch-parallel so the custom rule folds [V,B,S,H,D] into the
     batch axis instead."""
 
-    # the whole-row choice is resolved here (not inside the jitted fn) so the
-    # env knob participates in the jit cache key
+    # the whole-row choice and q-block rows are resolved here (not inside the
+    # jitted fn) so the env knobs participate in the jit cache key
     whole_row = _use_whole_row(q.shape[1])
+    if bq is None:
+        import os
+
+        bq = int(os.environ.get("DU_TPU_ATTN_BQ", 256))
 
     @jax.custom_batching.custom_vmap
     def call(q_, k_, v_):
