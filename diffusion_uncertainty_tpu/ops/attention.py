@@ -48,9 +48,29 @@ def dot_product_attention(
 
         # the kernel streams K/V with the Q sequence length — self-attention
         # shapes only (SD cross-attention reads a 77-token context: XLA path)
-        if supports(q.shape, q.dtype) and q.shape[1] == k.shape[1]:
-            return _flash_with_xla_grad(q, k, v)
+        if q.shape[1] == k.shape[1]:
+            if supports(q.shape, q.dtype):
+                return _flash_with_xla_grad(q, k, v, None)
+            b, s, h, d = q.shape
+            sp = _aligned_seq(s)
+            if sp is not None and supports((b, sp, h, d), q.dtype):
+                # misaligned joint sequences (SD3's image+text rows are
+                # rarely a tile multiple) run the kernel zero-padded with the
+                # padded keys masked to zero weight — exact softmax over the
+                # real kv_len rows; padded query rows are sliced off here
+                pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+                out = _flash_with_xla_grad(
+                    jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), s
+                )
+                return out[:, :s]
     return _xla_attention(q, k, v)
+
+
+def _aligned_seq(s: int) -> int | None:
+    """Next kernel-legal sequence length above s, or None when padding would
+    more than double the row count (not worth masking overhead)."""
+    sp = (s + 7) // 8 * 8 if s <= 256 else (s + 127) // 128 * 128
+    return sp if sp != s and sp <= 2 * s else None
 
 
 def _xla_attention(q, k, v):
@@ -63,27 +83,30 @@ def _xla_attention(q, k, v):
     return out.astype(q.dtype)
 
 
-@jax.custom_vjp
-def _flash_with_xla_grad(q, k, v):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_with_xla_grad(q, k, v, kv_len):
     """Pallas flash forward; standard-attention einsum math for the backward
     (Pallas kernels have no VJP — the gradient-based guidance/estimator
     family differentiates through the model, caught live on the SD guided
     path)."""
     from .flash_attention import flash_attention
 
-    return flash_attention(q, k, v)
+    return flash_attention(q, k, v, kv_len=kv_len)
 
 
-def _flash_fwd(q, k, v):
-    return _flash_with_xla_grad(q, k, v), (q, k, v)
+def _flash_fwd(q, k, v, kv_len):
+    return _flash_with_xla_grad(q, k, v, kv_len), (q, k, v)
 
 
-def _flash_bwd(res, g):
+def _flash_bwd(kv_len, res, g):
     q, k, v = res
     qf, kf, vf = (a.astype(jnp.float32) for a in (q, k, v))
     gf = g.astype(jnp.float32)
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+    if kv_len is not None and kv_len < k.shape[1]:
+        mask = jnp.arange(k.shape[1]) < kv_len
+        logits = jnp.where(mask[None, None, None, :], logits, -1e30)
     w = jax.nn.softmax(logits, axis=-1)
     dv = jnp.einsum("bhqk,bqhd->bkhd", w, gf)
     dw = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)

@@ -45,7 +45,7 @@ def supports(shape: tuple[int, ...], dtype) -> bool:
     return dtype in (jnp.float32, jnp.bfloat16)
 
 
-def _kernel_whole_row(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _kernel_whole_row(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int | None = None):
     # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
     # K/V for the whole sequence are already VMEM-resident (the BlockSpecs
     # below load [1, S, dp]), so for the model zoo's short rows (S ≤ 2048)
@@ -58,6 +58,12 @@ def _kernel_whole_row(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     s = scale * jax.lax.dot_general(
         q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bq, S] f32
+    if kv_len is not None and kv_len < s.shape[1]:
+        # alignment-padded keys: exact masking (exp(-inf) = 0 weight), so a
+        # sequence padded up to the tile multiple reproduces the unpadded
+        # softmax bit-for-bit over the real kv_len keys
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -74,10 +80,10 @@ def _kernel_whole_row(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 _WHOLE_ROW_MAX_S = 2048
 
 
-def _pick_kernel(s: int, bk: int, scale: float, whole_row: bool):
+def _pick_kernel(s: int, bk: int, scale: float, whole_row: bool, kv_len: int | None):
     if whole_row:
-        return functools.partial(_kernel_whole_row, scale=scale)
-    return functools.partial(_kernel, bk=bk, scale=scale, seq_len=s)
+        return functools.partial(_kernel_whole_row, scale=scale, kv_len=kv_len)
+    return functools.partial(_kernel, bk=bk, scale=scale, seq_len=s, kv_len=kv_len)
 
 
 def _use_whole_row(s: int) -> bool:
@@ -86,7 +92,7 @@ def _use_whole_row(s: int) -> bool:
     return s <= _WHOLE_ROW_MAX_S and os.environ.get("DU_TPU_ATTN_WHOLEROW") != "0"
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int, kv_len: int | None = None):
     # q_ref [1, bq, dp]; k_ref/v_ref [1, S, dp]; o_ref [1, bq, dp]
     # Matmul inputs stay in the storage dtype (bf16 for the model zoo): the
     # v5e MXU runs bf16 at ~4x its f32 rate, and an all-f32 QK'/PV pair was
@@ -103,6 +109,9 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float, seq_len: int):
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk] f32
+        if kv_len is not None and kv_len < seq_len:
+            col = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -126,11 +135,17 @@ def flash_attention(
     v: jnp.ndarray,
     bq: int | None = None,
     bk: int = 256,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     """vmap-safe wrapper: the default pallas batching rule appends the mapped
     axis to every block (an M-member ensemble multiplies VMEM blocks by M);
     attention is batch-parallel so the custom rule folds [V,B,S,H,D] into the
-    batch axis instead."""
+    batch axis instead.
+
+    ``kv_len``: number of REAL keys — trailing key/value rows past it are
+    alignment padding and masked to exp(-inf)=0 weight (exact softmax over
+    the first kv_len keys). Padded QUERY rows compute garbage the caller
+    slices off."""
 
     # the whole-row choice and q-block rows are resolved here (not inside the
     # jitted fn) so the env knobs participate in the jit cache key
@@ -142,7 +157,7 @@ def flash_attention(
 
     @jax.custom_batching.custom_vmap
     def call(q_, k_, v_):
-        return _flash_attention(q_, k_, v_, bq=bq, bk=bk, whole_row=whole_row)
+        return _flash_attention(q_, k_, v_, bq=bq, bk=bk, whole_row=whole_row, kv_len=kv_len)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, q_, k_, v_):  # noqa: ANN001
@@ -159,7 +174,7 @@ def flash_attention(
     return call(q, k, v)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "whole_row"))
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "whole_row", "kv_len"))
 def _flash_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
@@ -167,10 +182,17 @@ def _flash_attention(
     bq: int = 256,
     bk: int = 256,
     whole_row: bool = False,
+    kv_len: int | None = None,
 ) -> jnp.ndarray:
     b, s, h, d = q.shape
     bq = min(bq, s)
     bk = min(bk, s)
+    if s % bq != 0:
+        # the q grid must tile S exactly (s=384 with bq=256 left rows 256-383
+        # unwritten); 128 always divides a supported long sequence
+        bq = 128 if s > 256 else s
+    if s % bk != 0:
+        bk = 128 if s > 256 else s
     scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
 
     if d % _LANE == 0:
@@ -183,7 +205,7 @@ def _flash_attention(
         kf = k.reshape(b, s, h * d)
         vf = v.reshape(b, s, h * d)
         out = pl.pallas_call(
-            _pick_kernel(s, bk, scale, whole_row),
+            _pick_kernel(s, bk, scale, whole_row, kv_len),
             grid=(b, h, s // bq),
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
@@ -207,7 +229,7 @@ def _flash_attention(
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     out = pl.pallas_call(
-        _pick_kernel(s, bk, scale, whole_row),
+        _pick_kernel(s, bk, scale, whole_row, kv_len),
         grid=(b * h, s // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

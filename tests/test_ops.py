@@ -65,6 +65,42 @@ def test_flash_attention_whole_row_matches_loop_kernel(monkeypatch):
     np.testing.assert_allclose(np.asarray(whole), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_flash_attention_masked_padding_matches_xla():
+    """Misaligned sequences (SD3's image+text joint rows) run the kernel
+    zero-padded with trailing keys masked to zero weight — exact parity."""
+    from diffusion_uncertainty_tpu.ops.attention import _aligned_seq, _flash_with_xla_grad, _xla_attention
+
+    k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
+    s = 132  # not 8-aligned -> pads to 136
+    q = jax.random.normal(k1, (1, s, 2, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, s, 2, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, s, 2, 64), jnp.float32)
+    sp = _aligned_seq(s)
+    assert sp == 136
+    pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+    out = _flash_with_xla_grad(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), s)[:, :s]
+    ref = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # gradient path (masked einsum backward)
+    g1 = jax.grad(lambda qq: jnp.sum(
+        _flash_with_xla_grad(jnp.pad(qq, pad), jnp.pad(k, pad), jnp.pad(v, pad), s)[:, :s] ** 2
+    ))(q)
+    g2 = jax.grad(lambda qq: jnp.sum(_xla_attention(qq, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_s384_grid_regression():
+    """S=384 passes supports() (%128==0) but the default bq=256 grid left
+    rows 256-383 unwritten; bq must fall back to a divisor of S."""
+    k1, k2, k3 = jax.random.split(jax.random.key(17), 3)
+    q = jax.random.normal(k1, (1, 384, 1, 64), jnp.float32)
+    k = jax.random.normal(k2, (1, 384, 1, 64), jnp.float32)
+    v = jax.random.normal(k3, (1, 384, 1, 64), jnp.float32)
+    ref = dot_product_attention(q, k, v, use_pallas=False)
+    out = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_group_norm_silu_fallback_matches_flax():
     import flax.linen as nn
 
