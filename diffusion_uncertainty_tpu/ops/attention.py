@@ -46,31 +46,33 @@ def dot_product_attention(
     if use_pallas:
         from .flash_attention import supports
 
-        # the kernel streams K/V with the Q sequence length — self-attention
-        # shapes only (SD cross-attention reads a 77-token context: XLA path)
-        if q.shape[1] == k.shape[1]:
-            if supports(q.shape, q.dtype):
+        b, s, h, d = q.shape
+        s_kv = k.shape[1]
+        sp = _aligned_seq(s)
+        sp_kv = _aligned_seq(s_kv)
+        if sp is not None and sp_kv is not None and supports((b, sp, h, d), q.dtype, sp_kv):
+            if sp == s and sp_kv == s_kv:
                 return _flash_with_xla_grad(q, k, v, None)
-            b, s, h, d = q.shape
-            sp = _aligned_seq(s)
-            if sp is not None and supports((b, sp, h, d), q.dtype):
-                # misaligned joint sequences (SD3's image+text rows are
-                # rarely a tile multiple) run the kernel zero-padded with the
-                # padded keys masked to zero weight — exact softmax over the
-                # real kv_len rows; padded query rows are sliced off here
-                pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
-                out = _flash_with_xla_grad(
-                    jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), s
-                )
-                return out[:, :s]
+            # misaligned rows run the kernel zero-padded: padded KEYS are
+            # masked to exp(-inf)=0 weight (exact softmax over the real
+            # kv_len rows — SD3's image+text joint sequence, SD1.5's
+            # 77-token cross-attention context); padded QUERY rows compute
+            # garbage sliced off here
+            qpad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+            kpad = ((0, 0), (0, sp_kv - s_kv), (0, 0), (0, 0))
+            out = _flash_with_xla_grad(
+                jnp.pad(q, qpad), jnp.pad(k, kpad), jnp.pad(v, kpad),
+                s_kv if sp_kv != s_kv else None,
+            )
+            return out[:, :s]
     return _xla_attention(q, k, v)
 
 
 def _aligned_seq(s: int) -> int | None:
-    """Next kernel-legal sequence length above s, or None when padding would
+    """Smallest kernel-legal sequence length >= s, or None when padding would
     more than double the row count (not worth masking overhead)."""
     sp = (s + 7) // 8 * 8 if s <= 256 else (s + 127) // 128 * 128
-    return sp if sp != s and sp <= 2 * s else None
+    return sp if sp <= max(2 * s, 8) else None
 
 
 def _xla_attention(q, k, v):

@@ -26,20 +26,25 @@ _LANE = 128
 _NEG_INF = -1e30
 
 
-def supports(shape: tuple[int, ...], dtype) -> bool:
-    """True when (B, S, H, D) meets the kernel's tiling constraints.
+def supports(shape: tuple[int, ...], dtype, kv_seq: int | None = None) -> bool:
+    """True when (B, S, H, D) queries over kv_seq keys meet the kernel's
+    tiling constraints (kv_seq defaults to S: self-attention).
 
-    S rides the SUBLANE dim of the K/V blocks, so short sequences only need
+    Sequences ride the SUBLANE dim of their blocks, so short ones only need
     8-alignment (bq=bk=S, one K/V tile): this is what keeps ADM's 8×8 level
     (S=64) on the kernel instead of falling back to XLA. Long sequences tile
-    in 256-row blocks and need 128-alignment."""
+    in 256/128-row blocks and need 128-alignment. K/V are loaded whole per
+    grid step — kv_seq is capped so the resident blocks stay small."""
     if len(shape) != 4:
         return False
     _, s, _, d = shape
-    if s < 8 or s % 8 != 0:
-        return False
-    if s > 256 and s % _LANE != 0:
-        return False
+    for n in (s, kv_seq if kv_seq is not None else s):
+        if n < 8 or n % 8 != 0:
+            return False
+        if n > 256 and n % _LANE != 0:
+            return False
+        if n > 8192:
+            return False
     if d > 512:
         return False
     return dtype in (jnp.float32, jnp.bfloat16)
@@ -148,8 +153,9 @@ def flash_attention(
     slices off."""
 
     # the whole-row choice and q-block rows are resolved here (not inside the
-    # jitted fn) so the env knobs participate in the jit cache key
-    whole_row = _use_whole_row(q.shape[1])
+    # jitted fn) so the env knobs participate in the jit cache key; whole-row
+    # is bounded by the KEY length (the [bq, S_kv] logits tile)
+    whole_row = _use_whole_row(k.shape[1])
     if bq is None:
         import os
 
@@ -185,14 +191,15 @@ def _flash_attention(
     kv_len: int | None = None,
 ) -> jnp.ndarray:
     b, s, h, d = q.shape
+    s_kv = k.shape[1]
     bq = min(bq, s)
-    bk = min(bk, s)
+    bk = min(bk, s_kv)
     if s % bq != 0:
         # the q grid must tile S exactly (s=384 with bq=256 left rows 256-383
         # unwritten); 128 always divides a supported long sequence
         bq = 128 if s > 256 else s
-    if s % bk != 0:
-        bk = 128 if s > 256 else s
+    if s_kv % bk != 0:
+        bk = 128 if s_kv > 256 else s_kv
     scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
 
     if d % _LANE == 0:
@@ -202,15 +209,15 @@ def _flash_attention(
         # [B,S,H,D] -> [B,H,S,D] fold transposes (6 materialized ~50MB copies
         # per 32² site) disappear entirely.
         qf = q.reshape(b, s, h * d)
-        kf = k.reshape(b, s, h * d)
-        vf = v.reshape(b, s, h * d)
+        kf = k.reshape(b, s_kv, h * d)
+        vf = v.reshape(b, s_kv, h * d)
         out = pl.pallas_call(
-            _pick_kernel(s, bk, scale, whole_row, kv_len),
+            _pick_kernel(s_kv, bk, scale, whole_row, kv_len),
             grid=(b, h, s // bq),
             in_specs=[
                 pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, s, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, s, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_kv, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_kv, d), lambda i, hh, j: (i, 0, hh), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, bq, d), lambda i, hh, j: (i, j, hh), memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, s, h * d), q.dtype),
@@ -221,7 +228,8 @@ def _flash_attention(
     dp = ((d + _LANE - 1) // _LANE) * _LANE
 
     def fold(x):
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, s, d)
+        ss = x.shape[1]
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, ss, d)
         if dp != d:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
         return x
@@ -229,12 +237,12 @@ def _flash_attention(
     qf, kf, vf = fold(q), fold(k), fold(v)
 
     out = pl.pallas_call(
-        _pick_kernel(s, bk, scale, whole_row, kv_len),
+        _pick_kernel(s_kv, bk, scale, whole_row, kv_len),
         grid=(b * h, s // bq),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_kv, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_kv, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, s, dp), q.dtype),

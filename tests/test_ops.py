@@ -205,10 +205,11 @@ def test_group_norm_stats_only_both_branches(monkeypatch, stats_only):
     np.testing.assert_allclose(np.asarray(outm), np.asarray(refm), rtol=2e-5, atol=2e-5)
 
 
-def test_cross_attention_falls_back_to_xla():
-    """Cross-attention (kv shorter than q, the SD text context) must not hit
-    the flash kernel — caught live: the kernel folds K/V with Q's sequence
-    length and faults on mismatched shapes."""
+def test_cross_attention_matches_xla():
+    """Cross-attention (kv shorter than q, the SD text context) runs the
+    kernel with the 77-token context padded to 80 and masked — must match
+    the XLA path exactly (historically this shape faulted the kernel and
+    had to fall back)."""
     rng = np.random.RandomState(5)
     q = jnp.asarray(rng.randn(2, 128, 2, 40).astype(np.float32))
     k = jnp.asarray(rng.randn(2, 77, 2, 40).astype(np.float32))
