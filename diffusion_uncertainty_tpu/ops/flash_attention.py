@@ -1,14 +1,16 @@
 """Blockwise (flash) attention Pallas TPU kernel.
 
-Online-softmax attention over the spatial token sequences of the model zoo
-(S = 64…4096, head_dim 64…256). Keeps QKᵀ logits in VMEM one (bq × bk) tile
-at a time instead of materialising the [S, S] matrix in HBM — the kernel-level
-analogue of blockwise attention for this workload (SURVEY.md §5.7).
+Attention over the token sequences of the model zoo (S = 64…4096, head_dim
+64…256), self- or cross- (S_q != S_kv). Logits never touch HBM — either as
+one whole-row [bq, S_kv] VMEM tile (short keys, the default) or one (bq × bk)
+online-softmax tile at a time (long keys) — the kernel-level analogue of
+blockwise attention for this workload (SURVEY.md §5.7).
 
-Layout: the wrapper folds batch and heads into one leading grid axis and pads
-head_dim up to a lane multiple (128); zero-padded key columns contribute
-exp(q·0)=1 only through columns that are never read back, and padded value
-columns are sliced off.
+Layout: lane-aligned head dims attend straight out of the [B, S, H·D] qkv
+packing (head = grid axis selecting a lane slice); other head dims fold
+batch×heads into one leading grid axis and pad head_dim up to a lane multiple
+(padded VALUE columns are sliced off). Trailing alignment-padded KEYS are
+masked to exp(-inf)=0 via ``kv_len`` — exact softmax over the real keys.
 """
 
 from __future__ import annotations
@@ -38,14 +40,18 @@ def supports(shape: tuple[int, ...], dtype, kv_seq: int | None = None) -> bool:
     if len(shape) != 4:
         return False
     _, s, _, d = shape
+    if d > 512:
+        return False
+    dp = ((d + _LANE - 1) // _LANE) * _LANE
     for n in (s, kv_seq if kv_seq is not None else s):
         if n < 8 or n % 8 != 0:
             return False
         if n > 256 and n % _LANE != 0:
             return False
-        if n > 8192:
-            return False
-    if d > 512:
+    # double-buffered whole-(S_kv) K/V blocks must leave room in the 16 MB
+    # scoped VMEM: 2 tensors x 2 buffers x bf16 -> cap rows*lanes at 2M
+    # (dp=128 allows 16k keys, dp=512 allows 4k)
+    if (kv_seq if kv_seq is not None else s) * dp > 2 * 1024 * 1024:
         return False
     return dtype in (jnp.float32, jnp.bfloat16)
 
