@@ -48,9 +48,8 @@ def dot_product_attention(
 
         b, s, h, d = q.shape
         s_kv = k.shape[1]
-        sp = _aligned_seq(s)
-        sp_kv = _aligned_seq(s_kv)
-        if sp is not None and sp_kv is not None and supports((b, sp, h, d), q.dtype, sp_kv):
+        sp, sp_kv = _pad_plan(q.shape, q.dtype, s_kv, supports)
+        if sp is not None:
             if sp == s and sp_kv == s_kv:
                 return _flash_with_xla_grad(q, k, v, None)
             # misaligned rows run the kernel zero-padded: padded KEYS are
@@ -68,11 +67,18 @@ def dot_product_attention(
     return _xla_attention(q, k, v)
 
 
-def _aligned_seq(s: int) -> int | None:
-    """Smallest kernel-legal sequence length >= s, or None when padding would
-    more than double the row count (not worth masking overhead)."""
-    sp = (s + 7) // 8 * 8 if s <= 256 else (s + 127) // 128 * 128
-    return sp if sp <= max(2 * s, 8) else None
+def _pad_plan(q_shape, dtype, s_kv: int, supports) -> tuple[int | None, int | None]:
+    """(padded_s, padded_s_kv) — the smallest kernel-accepted padding of the
+    two sequence lengths, preferring exact/8-aligned (zero or minimal copy)
+    over 128-aligned; (None, None) when nothing reasonable is supported."""
+    b, s, h, d = q_shape
+    ceil8 = lambda n: max((n + 7) // 8 * 8, 8)
+    ceil128 = lambda n: max((n + 127) // 128 * 128, 8)
+    for sp in dict.fromkeys((ceil8(s), ceil128(s))):
+        for spk in dict.fromkeys((ceil8(s_kv), ceil128(s_kv))):
+            if sp <= max(2 * s, 8) and spk <= max(2 * s_kv, 8) and supports((b, sp, h, d), dtype, spk):
+                return sp, spk
+    return None, None
 
 
 def _xla_attention(q, k, v):

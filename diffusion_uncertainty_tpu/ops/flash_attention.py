@@ -28,30 +28,58 @@ _LANE = 128
 _NEG_INF = -1e30
 
 
+def _block_rows(n: int, cap: int) -> int:
+    """Largest divisor of n that is a multiple of 8 and <= cap (n % 8 == 0).
+
+    Sequences ride the SUBLANE dim of their blocks, so any 8-multiple block
+    row count is tile-legal; the grid must tile the sequence exactly, hence
+    divisors. Whole-sequence blocks (n <= cap) avoid tiling entirely."""
+    if n <= cap:
+        return n
+    b = cap - cap % 8
+    while n % b:
+        b -= 8
+    return b
+
+
+def _plan(s: int, s_kv: int, d: int, bq_req: int, bk_req: int, whole_row: bool):
+    """(bq, bk, fits): block rows for q and k/v, and whether the working set
+    fits scoped VMEM. Single source of truth for supports() and the launch."""
+    dp = ((d + _LANE - 1) // _LANE) * _LANE
+    bq = _block_rows(s, max(bq_req, 512 if s <= 512 else bq_req))
+    bk = _block_rows(s_kv, bk_req)
+    # efficiency floor: a degenerate divisor (e.g. prime-ish s -> bq 8) makes
+    # grid overhead dominate — report unsupported so the dispatch pads instead
+    if bq < 64 and bq < s:
+        return bq, bk, False
+    if not whole_row and bk < 64 and bk < s_kv:
+        return bq, bk, False
+    vmem = (
+        2 * 2 * 2 * bq * dp  # q + out blocks, double-buffered, bf16
+        + 2 * 2 * 2 * s_kv * dp  # whole-S_kv K and V blocks, double-buffered
+        + (6 * bq * s_kv if whole_row else 6 * bq * bk + 4 * bq * dp)  # f32 logits + bf16 p (+ f32 acc)
+    )
+    return bq, bk, vmem <= 12 * 1024 * 1024
+
+
 def supports(shape: tuple[int, ...], dtype, kv_seq: int | None = None) -> bool:
     """True when (B, S, H, D) queries over kv_seq keys meet the kernel's
     tiling constraints (kv_seq defaults to S: self-attention).
 
-    Sequences ride the SUBLANE dim of their blocks, so short ones only need
-    8-alignment (bq=bk=S, one K/V tile): this is what keeps ADM's 8×8 level
-    (S=64) on the kernel instead of falling back to XLA. Long sequences tile
-    in 256/128-row blocks and need 128-alignment. K/V are loaded whole per
-    grid step — kv_seq is capped so the resident blocks stay small."""
+    Any 8-aligned sequence length with a non-degenerate divisor block plan is
+    accepted (no 128-alignment requirement: SD3's 1040-row joint sequence
+    runs unpadded); the VMEM estimate in _plan caps resident K/V."""
     if len(shape) != 4:
         return False
     _, s, _, d = shape
     if d > 512:
         return False
-    dp = ((d + _LANE - 1) // _LANE) * _LANE
-    for n in (s, kv_seq if kv_seq is not None else s):
+    s_kv = kv_seq if kv_seq is not None else s
+    for n in (s, s_kv):
         if n < 8 or n % 8 != 0:
             return False
-        if n > 256 and n % _LANE != 0:
-            return False
-    # double-buffered whole-(S_kv) K/V blocks must leave room in the 16 MB
-    # scoped VMEM: 2 tensors x 2 buffers x bf16 -> cap rows*lanes at 2M
-    # (dp=128 allows 16k keys, dp=512 allows 4k)
-    if (kv_seq if kv_seq is not None else s) * dp > 2 * 1024 * 1024:
+    _, _, fits = _plan(s, s_kv, d, 256, 256, _use_whole_row(s_kv))
+    if not fits:
         return False
     return dtype in (jnp.float32, jnp.bfloat16)
 
@@ -198,14 +226,9 @@ def _flash_attention(
 ) -> jnp.ndarray:
     b, s, h, d = q.shape
     s_kv = k.shape[1]
-    bq = min(bq, s)
-    bk = min(bk, s_kv)
-    if s % bq != 0:
-        # the q grid must tile S exactly (s=384 with bq=256 left rows 256-383
-        # unwritten); 128 always divides a supported long sequence
-        bq = 128 if s > 256 else s
-    if s_kv % bk != 0:
-        bk = 128 if s_kv > 256 else s_kv
+    # divisor-based block plan (the q grid must tile S exactly — s=384 with a
+    # blind bq=256 left rows 256-383 unwritten)
+    bq, bk, _ = _plan(s, s_kv, d, bq, bk, whole_row)
     scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
 
     if d % _LANE == 0:

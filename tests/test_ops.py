@@ -34,8 +34,13 @@ def test_supports_predicate():
     assert supports((2, 256, 4, 64), jnp.float32)
     assert not supports((2, 100, 4, 64), jnp.float32)  # ragged seq (not 8-aligned)
     assert supports((2, 64, 4, 64), jnp.float32)  # short seq rides sublanes
-    assert not supports((2, 384 + 8, 4, 64), jnp.float32)  # long needs 128-align
+    assert supports((2, 392, 4, 64), jnp.float32)  # 8-aligned mid seq: whole-q block
+    assert supports((4, 1040, 24, 64), jnp.bfloat16, 1040)  # SD3 joint seq, unpadded
+    assert not supports((2, 1048, 4, 64), jnp.float32)  # 8x131: degenerate divisors
     assert not supports((2, 256, 4, 64), jnp.int8)
+    # cross-attention kv constraints
+    assert supports((2, 4096, 8, 64), jnp.bfloat16, 80)  # SD text context (padded 77)
+    assert not supports((2, 256, 4, 64), jnp.float32, 77)  # unpadded 77 is ragged
 
 
 def test_flash_attention_short_sequence_matches_xla():
@@ -68,15 +73,16 @@ def test_flash_attention_whole_row_matches_loop_kernel(monkeypatch):
 def test_flash_attention_masked_padding_matches_xla():
     """Misaligned sequences (SD3's image+text joint rows) run the kernel
     zero-padded with trailing keys masked to zero weight — exact parity."""
-    from diffusion_uncertainty_tpu.ops.attention import _aligned_seq, _flash_with_xla_grad, _xla_attention
+    from diffusion_uncertainty_tpu.ops.attention import _flash_with_xla_grad, _pad_plan, _xla_attention
 
     k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
     s = 132  # not 8-aligned -> pads to 136
     q = jax.random.normal(k1, (1, s, 2, 64), jnp.float32)
     k = jax.random.normal(k2, (1, s, 2, 64), jnp.float32)
     v = jax.random.normal(k3, (1, s, 2, 64), jnp.float32)
-    sp = _aligned_seq(s)
-    assert sp == 136
+    from diffusion_uncertainty_tpu.ops.flash_attention import supports
+    sp, sp_kv = _pad_plan(q.shape, q.dtype, s, supports)
+    assert (sp, sp_kv) == (136, 136)
     pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
     out = _flash_with_xla_grad(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), s)[:, :s]
     ref = _xla_attention(q, k, v)
