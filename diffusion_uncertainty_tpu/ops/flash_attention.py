@@ -190,14 +190,21 @@ def flash_attention(
     # jitted fn) so the env knobs participate in the jit cache key; whole-row
     # is bounded by the KEY length (the [bq, S_kv] logits tile)
     whole_row = _use_whole_row(k.shape[1])
-    if bq is None:
-        import os
+    import os
 
+    if bq is None:
         bq = int(os.environ.get("DU_TPU_ATTN_BQ", 256))
+    # experiment knob: let non-128-multiple head dims (ADM-128's 16² level is
+    # d=192) try the transpose-free lane-slice path; Mosaic masks unaligned
+    # lane blocks but the cost is unmeasured — off by default
+    slice_any_d = os.environ.get("DU_TPU_ATTN_SLICE_ANY_D") == "1"
 
     @jax.custom_batching.custom_vmap
     def call(q_, k_, v_):
-        return _flash_attention(q_, k_, v_, bq=bq, bk=bk, whole_row=whole_row, kv_len=kv_len)
+        return _flash_attention(
+            q_, k_, v_, bq=bq, bk=bk, whole_row=whole_row, kv_len=kv_len,
+            slice_any_d=slice_any_d,
+        )
 
     @call.def_vmap
     def _rule(axis_size, in_batched, q_, k_, v_):  # noqa: ANN001
@@ -214,7 +221,9 @@ def flash_attention(
     return call(q, k, v)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "whole_row", "kv_len"))
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bk", "whole_row", "kv_len", "slice_any_d")
+)
 def _flash_attention(
     q: jnp.ndarray,  # [B, S, H, D]
     k: jnp.ndarray,
@@ -223,6 +232,7 @@ def _flash_attention(
     bk: int = 256,
     whole_row: bool = False,
     kv_len: int | None = None,
+    slice_any_d: bool = False,
 ) -> jnp.ndarray:
     b, s, h, d = q.shape
     s_kv = k.shape[1]
@@ -231,7 +241,7 @@ def _flash_attention(
     bq, bk, _ = _plan(s, s_kv, d, bq, bk, whole_row)
     scale = 1.0 / (d**0.5)  # true head_dim, not the padded one
 
-    if d % _LANE == 0:
+    if d % _LANE == 0 or (slice_any_d and d % 8 == 0):
         # Lane-aligned head_dim: attend straight out of the [B, S, H·D]
         # packing the qkv projection produces — the head axis becomes a grid
         # dimension whose block offset selects the head's lane slice, so the
