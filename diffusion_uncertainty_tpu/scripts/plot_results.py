@@ -306,7 +306,8 @@ _KINDS = {
     "pr_curve": plot_pr_curve,
     "sd_prompt_grid": plot_sd_prompt_grid,
     "sd_row": plot_sd_row,
-    "ause_m": plot_ause_vs_m,
+    "ause_vs_m": plot_ause_vs_m,
+    "ause_m": plot_ause_vs_m,  # legacy alias for the r2 kind name
 }
 
 

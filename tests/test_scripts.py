@@ -199,7 +199,7 @@ def test_plot_ause_vs_m(root):
     with open(d / "ause_vs_M_uncertainty_centered.jsonl", "w") as f:
         for m, a in ((2, 0.5), (5, 0.4), (10, 0.35)):
             f.write(json.dumps({"M": m, "ause": a, "aurg": 0.1}) + "\n")
-    out = plot_main(["--kind", "ause_m", "--dataset", "tiny"])
+    out = plot_main(["--kind", "ause_vs_m", "--dataset", "tiny"])
     assert out.exists() and out.stat().st_size > 0
 
 
