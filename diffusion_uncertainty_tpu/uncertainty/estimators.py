@@ -357,6 +357,12 @@ def make_estimator(cfg: EstimatorConfig, timesteps=None):
         raise KeyError(
             f"unknown estimator {cfg.name!r}; available: {sorted(ESTIMATORS)}"
         )
+    if fn is zigzag_centered and not cfg.predict_next:
+        # the reference's zigzag schedulers HARDCODE predict_next=True
+        # (scheduling_ddim_uncertainty_zigzag_centered.py:272 — the flag other
+        # variants take from the CLI is ignored there), so the registry mirrors
+        # that: zigzag always re-noises from x_{t-1}, never from pred_x0
+        cfg = dataclasses.replace(cfg, predict_next=True)
     if fn is centered_d:
         if timesteps is None:
             raise ValueError("centered_d needs the inference timestep table")

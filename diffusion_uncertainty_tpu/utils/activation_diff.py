@@ -34,6 +34,7 @@ __all__ = [
     "uvit_block_diffs",
     "vae_diffs",
     "ddim_loop_diff",
+    "zigzag_window_diff",
     "reference_available",
 ]
 
@@ -369,6 +370,116 @@ def ddim_loop_diff(
         step = ddim_step(schedule, x, eps, jnp.asarray(t), jnp.asarray(t - 1), dcfg)
         x = step.prev_sample
         diffs.append((f"t={t}", _max_diff(ref_traj[i], np.asarray(x, np.float32))))
+    return diffs
+
+
+def zigzag_window_diff(
+    M: int = 192,
+    num_zigzag: int = 3,
+    steps: int = 10,
+    after_step: int = 3,
+    num_steps_uc: int = 3,
+    batch: int = 2,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """Whole-window oracle vs the reference's ACTUAL zigzag scheduler fork.
+
+    Imports ``scheduling_ddim_uncertainty_zigzag_centered.py`` from the
+    reference tree (through the diffusers shim — diffusers itself is not
+    installed here) and runs its full ``set_timesteps`` + ``step`` loop with
+    an analytic epsilon model, against ``sample_ddim`` +
+    ``uncertainty_zigzag_centered`` with the identical schedule and model.
+
+    Two kinds of checks come out:
+
+    - ``traj``: max|Δ| over every intermediate sample — the DDIM update
+      inside the fork (eta=0, so noise-free) must match exactly.
+    - ``u_rel[i]``: per-window-step relative difference of the MEAN
+      uncertainty map. The zigzag noise draws are independent on the two
+      sides, so this is a statistical comparison: the per-pixel estimator has
+      ~sqrt(2/M) relative sd, averaging over batch*size²*channels pixels
+      brings the mean's s.e. well under 1% at the defaults.
+
+    This is the oracle that pins the *window semantics* the per-block diffs
+    cannot: the ``predict_next=True`` hardcoding of the zigzag forks
+    (``scheduling_ddim_uncertainty_zigzag_centered.py:272``), the
+    window-bound timesteps (``:383-384``), and the mean-square (not ddof-1)
+    reduction (``:549``).
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.sampler import SamplerConfig, sample_ddim
+    from ..diffusion.schedule import make_schedule
+    from ..uncertainty.estimators import EstimatorConfig, make_estimator
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "schedulers_uncertainty.scheduling_ddim_uncertainty_zigzag_centered", root
+    )
+
+    class _AnalyticUNet:
+        """eps(x, t) = 0.3·x·cos(t/1000) — elementwise, so NCHW == NHWC."""
+
+        def __call__(self, x, t, encoder_hidden_states=None, cross_attention_kwargs=None, return_dict=False):
+            tt = torch.as_tensor(t, dtype=torch.float32)
+            return (0.3 * x * torch.cos(tt / 1000.0),)
+
+    unet = _AnalyticUNet()
+    torch.manual_seed(seed)
+    sched_ref = mod.DDIMSchedulerUncertainty(
+        M=M, after_step=after_step, num_steps_uc=num_steps_uc,
+        unet=unet, num_zigzag=num_zigzag,
+    )
+    sched_ref.set_timesteps(steps)
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, size, size, channels).astype(np.float32)
+
+    x_ref = torch.from_numpy(x_T)
+    ref_traj: List[np.ndarray] = []
+    ref_unc: List[np.ndarray] = []
+    with torch.no_grad():
+        for t in sched_ref.timesteps:
+            t = int(t)
+            eps = unet(x_ref, t)[0]
+            out = sched_ref.step(eps, t, x_ref, eta=0.0)
+            if getattr(out, "uncertainty", None) is not None:
+                ref_unc.append(out.uncertainty.numpy())
+            x_ref = out.prev_sample
+            ref_traj.append(x_ref.numpy())
+
+    def model_fn(x, t, key):
+        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0)
+
+    schedule = make_schedule("linear", 1000)
+    cfg = SamplerConfig(
+        num_inference_steps=steps, after_step=after_step, num_steps_uc=num_steps_uc
+    )
+    est = make_estimator(
+        EstimatorConfig(name="uncertainty_zigzag_centered", M=M, num_zigzag=num_zigzag)
+    )
+    res = sample_ddim(
+        model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
+        estimator=est, collect_intermediates=True,
+    )
+
+    diffs: Dict[str, float] = {}
+    traj = np.asarray(res.intermediates, np.float32)
+    assert traj.shape[0] == len(ref_traj), (traj.shape, len(ref_traj))
+    diffs["traj"] = max(
+        _max_diff(r, traj[i]) for i, r in enumerate(ref_traj)
+    )
+    unc = np.asarray(res.uncertainty, np.float32)
+    assert unc.shape[0] == len(ref_unc), (unc.shape, len(ref_unc))
+    for i, (r, o) in enumerate(zip(ref_unc, unc)):
+        mr, mo = float(r.mean()), float(o.mean())
+        diffs[f"u_rel[{i}]"] = abs(mr - mo) / max(abs(mr), 1e-12)
     return diffs
 
 

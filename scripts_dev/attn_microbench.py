@@ -65,6 +65,16 @@ def main():
                     results.append(f"{'wr' if wr=='1' else 'lp'}/bq{bq} FAIL({type(e).__name__})")
         os.environ.pop("DU_TPU_ATTN_WHOLEROW", None)
         os.environ.pop("DU_TPU_ATTN_BQ", None)
+        if d % 128 and d % 8 == 0:
+            # non-lane-aligned head dim: try the masked lane-slice path
+            os.environ["DU_TPU_ATTN_SLICE_ANY_D"] = "1"
+            pall = jax.jit(lambda q, k, v: dot_product_attention(q, k, v, use_pallas=True))
+            try:
+                t_p = bench(pall, q, k, v)
+                results.append(f"slice_d {t_p*1e3:7.3f}")
+            except Exception as e:  # noqa: BLE001
+                results.append(f"slice_d FAIL({type(e).__name__})")
+            os.environ.pop("DU_TPU_ATTN_SLICE_ANY_D", None)
         print(f"{tag:16s} ideal {ideal_ms:6.3f} ms | " + " | ".join(results), flush=True)
 
 

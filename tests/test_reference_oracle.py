@@ -15,6 +15,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     reference_available,
     uvit_block_diffs,
     vae_diffs,
+    zigzag_window_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -42,6 +43,22 @@ def test_vae_matches_reference():
     diffs = vae_diffs()
     worst = max(d for _, d in diffs)
     assert worst < 1e-4, diffs
+
+
+@needs_ref
+def test_zigzag_window_matches_reference_scheduler_fork():
+    """Whole-window oracle against the reference's ACTUAL zigzag scheduler
+    (scheduling_ddim_uncertainty_zigzag_centered.py, imported through the
+    diffusers shim). Trajectory must match exactly (eta=0); the mean
+    uncertainty map per window step must agree statistically (independent
+    noise draws, M=192 → s.e. well under 1%). Pins the predict_next=True
+    hardcoding (:272), the window bounds (:383-384), and the mean-square
+    reduction (:549)."""
+    diffs = zigzag_window_diff()
+    assert diffs["traj"] < 1e-4, diffs
+    u_rels = {k: v for k, v in diffs.items() if k.startswith("u_rel")}
+    assert len(u_rels) == 3
+    assert max(u_rels.values()) < 0.04, diffs
 
 
 @needs_ref
