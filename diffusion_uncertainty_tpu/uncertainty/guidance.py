@@ -38,6 +38,7 @@ __all__ = [
     "make_mask_guidance",
     "make_mc_dropout_gradient_guidance",
     "make_model_gradient_guidance",
+    "make_uncertainty_grad_guidance",
     "make_second_order_guidance",
     "make_score_model_gradient_guidance",
     "GUIDANCE_FACTORIES",
@@ -301,6 +302,44 @@ def make_model_gradient_guidance(
     return Guidance(_no_aux_init, apply)
 
 
+def make_uncertainty_grad_guidance(
+    M: int = 5,
+    dcfg: DiffusionConfig = DiffusionConfig(),
+    ensemble_chunk: int = 0,
+) -> Guidance:
+    """The ``uncertainty_grad`` scheduler fork as a guidance transform
+    (reference ``scheduling_ddim_uncertainty_grad.py:517-571``):
+
+    - u = Var_m(scores) (ddof=1) over M re-noised forwards whose graph runs
+      through pred_epsilon (x0 re-derived from the differentiated eps)
+    - scalar = u.mean(batch).sum(); eps' = eps + ∂scalar/∂eps · ᾱ_t  (the
+      fork's un-lr'd, ᾱ-scaled update, ``:550``)
+    - x_{t-1} keeps the ORIGINAL (clipped) x̂0 and takes only the direction
+      term from eps' (``:552-570``)
+    - the recorded uncertainty map is u itself (not the gradient)
+    """
+
+    def apply(model_fn, schedule, state: StepState, key, aux):
+        ab_t = schedule.alpha_bar(state.timestep)
+        eps = state.pred_epsilon.astype(jnp.float32)
+
+        def scalar_u(e):
+            x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * e) / jnp.sqrt(ab_t)
+            st = state._replace(pred_epsilon=e, pred_x0=x0)
+            scores = _renoised_scores(model_fn, schedule, st, key, M, ensemble_chunk)
+            uu = jnp.var(scores.astype(jnp.float32), axis=0, ddof=1)
+            return jnp.sum(jnp.mean(uu, axis=0)), uu
+
+        grad, u = jax.grad(scalar_u, has_aux=True)(eps)
+        new_eps = eps + grad * ab_t
+        prev = _recompute_prev(
+            schedule, state, new_eps, dcfg, x0=state.pred_x0.astype(jnp.float32)
+        )
+        return prev, u, aux
+
+    return Guidance(_no_aux_init, apply)
+
+
 def make_second_order_guidance(
     M: int = 5,
     threshold: Union[float, jnp.ndarray] = 0.9,
@@ -391,6 +430,7 @@ GUIDANCE_FACTORIES = {
     ),
     "mc_dropout_gradient": make_mc_dropout_gradient_guidance,
     "model_gradient_guided": make_model_gradient_guidance,
+    "uncertainty_grad": make_uncertainty_grad_guidance,
     "second_order": make_second_order_guidance,
     "score_uncertainty_model_gradient": make_score_model_gradient_guidance,
 }

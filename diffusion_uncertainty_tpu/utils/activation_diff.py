@@ -34,6 +34,7 @@ __all__ = [
     "uvit_block_diffs",
     "vae_diffs",
     "ddim_loop_diff",
+    "estimator_window_diff",
     "zigzag_window_diff",
     "reference_available",
 ]
@@ -373,7 +374,17 @@ def ddim_loop_diff(
     return diffs
 
 
-def zigzag_window_diff(
+# our estimator/guidance registry name -> the reference's scheduler fork
+_REF_SCHED_MODULES = {
+    "uncertainty_zigzag_centered": "scheduling_ddim_uncertainty_zigzag_centered",
+    "uncertainty_centered": "scheduling_ddim_uncertainty_centered",
+    "infer_noise": "scheduling_ddim_infer_noise",
+    "uncertainty_image": "scheduling_ddim_uncertainty_image",
+    "uncertainty_grad": "scheduling_ddim_uncertainty_grad",
+}
+
+def estimator_window_diff(
+    name: str = "uncertainty_zigzag_centered",
     M: int = 192,
     num_zigzag: int = 3,
     steps: int = 10,
@@ -385,29 +396,35 @@ def zigzag_window_diff(
     seed: int = 0,
     root: str = REFERENCE_ROOT,
 ) -> Dict[str, float]:
-    """Whole-window oracle vs the reference's ACTUAL zigzag scheduler fork.
+    """Whole-window oracle vs the reference's ACTUAL scheduler forks.
 
-    Imports ``scheduling_ddim_uncertainty_zigzag_centered.py`` from the
-    reference tree (through the diffusers shim — diffusers itself is not
-    installed here) and runs its full ``set_timesteps`` + ``step`` loop with
-    an analytic epsilon model, against ``sample_ddim`` +
-    ``uncertainty_zigzag_centered`` with the identical schedule and model.
+    Imports the fork named by ``_REF_SCHED_MODULES[name]`` from the reference
+    tree (through the diffusers shim — diffusers itself is not installed
+    here) and runs its full ``set_timesteps`` + ``step`` loop with an
+    analytic epsilon model, against ``sample_ddim`` with the matching
+    estimator (or, for ``uncertainty_grad``, the matching *guidance*) on the
+    identical schedule and model.
 
     Two kinds of checks come out:
 
-    - ``traj``: max|Δ| over every intermediate sample — the DDIM update
-      inside the fork (eta=0, so noise-free) must match exactly.
+    - ``traj``: max|Δ| over the pre-window intermediate samples (and, for
+      pure estimators, the whole trajectory) — the DDIM update inside the
+      fork is noise-free at eta=0 and must match exactly. ``uncertainty_grad``
+      modifies the trajectory with a stochastic gradient, so only the
+      pre-window steps are compared exactly there.
     - ``u_rel[i]``: per-window-step relative difference of the MEAN
-      uncertainty map. The zigzag noise draws are independent on the two
+      uncertainty map. The ensemble noise draws are independent on the two
       sides, so this is a statistical comparison: the per-pixel estimator has
-      ~sqrt(2/M) relative sd, averaging over batch*size²*channels pixels
+      ~sqrt(2/M) relative sd; averaging over batch*size²*channels pixels
       brings the mean's s.e. well under 1% at the defaults.
 
-    This is the oracle that pins the *window semantics* the per-block diffs
-    cannot: the ``predict_next=True`` hardcoding of the zigzag forks
-    (``scheduling_ddim_uncertainty_zigzag_centered.py:272``), the
-    window-bound timesteps (``:383-384``), and the mean-square (not ddof-1)
-    reduction (``:549``).
+    This pins the *window semantics* the per-block diffs cannot: the
+    ``predict_next=True`` hardcoding of the zigzag forks
+    (``scheduling_ddim_uncertainty_zigzag_centered.py:272``), the window
+    bounds (``:383-384``), the mean-square vs Var(ddof=1) reductions
+    (``:549`` vs ``scheduling_ddim_infer_noise.py:533``), the image-space
+    propagation (``scheduling_ddim_uncertainty_image.py:532``), and the grad
+    fork's ᾱ-scaled eps update (``scheduling_ddim_uncertainty_grad.py:550``).
     """
     import jax
     import jax.numpy as jnp
@@ -420,60 +437,97 @@ def zigzag_window_diff(
 
     install_diffusers_shim()
     mod = import_reference(
-        "schedulers_uncertainty.scheduling_ddim_uncertainty_zigzag_centered", root
+        f"schedulers_uncertainty.{_REF_SCHED_MODULES[name]}", root
     )
+
+    def eps_fn_torch(x, t):
+        # the tanh term keeps the model NONLINEAR in x: a linear model makes
+        # Var_m shift-invariant in eps and the grad fork's update identically
+        # zero, leaving its ᾱ-scaled eps path unexercised
+        tt = torch.as_tensor(t, dtype=torch.float32)
+        if tt.ndim == 1:  # trait-style predict_model passes a [B] tensor
+            tt = tt.reshape((-1,) + (1,) * (x.ndim - 1))
+        return 0.3 * x * torch.cos(tt / 1000.0) + 0.2 * torch.tanh(x)
+
+    class _Out:
+        """One return object for every fork convention: ``out[0]`` (diffusers
+        tuple), ``out.sample`` (UNet2DModel output), and ``out[:, :3]``
+        (the trait's raw-tensor channel slice) all yield the eps tensor."""
+
+        def __init__(self, eps):
+            self.sample = eps
+
+        def __getitem__(self, idx):
+            return self.sample if idx == 0 else self.sample[idx]
 
     class _AnalyticUNet:
         """eps(x, t) = 0.3·x·cos(t/1000) — elementwise, so NCHW == NHWC."""
 
-        def __call__(self, x, t, encoder_hidden_states=None, cross_attention_kwargs=None, return_dict=False):
-            tt = torch.as_tensor(t, dtype=torch.float32)
-            return (0.3 * x * torch.cos(tt / 1000.0),)
+        def __call__(self, x, t, encoder_hidden_states=None,
+                     cross_attention_kwargs=None, return_dict=False, y=None):
+            return _Out(eps_fn_torch(x, t))
 
     unet = _AnalyticUNet()
     torch.manual_seed(seed)
-    sched_ref = mod.DDIMSchedulerUncertainty(
+    import inspect
+
+    ctor_kwargs = dict(
         M=M, after_step=after_step, num_steps_uc=num_steps_uc,
         unet=unet, num_zigzag=num_zigzag,
     )
+    sig = inspect.signature(mod.DDIMSchedulerUncertainty.__init__)
+    # the decorated __init__ signature still lists the real params
+    ctor_kwargs = {k: v for k, v in ctor_kwargs.items() if k in sig.parameters}
+    sched_ref = mod.DDIMSchedulerUncertainty(**ctor_kwargs)
     sched_ref.set_timesteps(steps)
 
     rs = np.random.RandomState(seed)
     x_T = rs.randn(batch, size, size, channels).astype(np.float32)
 
-    x_ref = torch.from_numpy(x_T)
+    # the reference loop runs NCHW (the trait's ``[:, :3]`` slice assumes a
+    # channel dim 1); the analytic model is elementwise so the layout is free
+    x_ref = torch.from_numpy(x_T.transpose(0, 3, 1, 2))
     ref_traj: List[np.ndarray] = []
     ref_unc: List[np.ndarray] = []
-    with torch.no_grad():
+    # the grad fork needs autograd inside step(); everything else is no_grad
+    grad_mode = torch.enable_grad() if name == "uncertainty_grad" else torch.no_grad()
+    with grad_mode:
         for t in sched_ref.timesteps:
             t = int(t)
-            eps = unet(x_ref, t)[0]
+            eps = eps_fn_torch(x_ref, t)
             out = sched_ref.step(eps, t, x_ref, eta=0.0)
             if getattr(out, "uncertainty", None) is not None:
-                ref_unc.append(out.uncertainty.numpy())
-            x_ref = out.prev_sample
-            ref_traj.append(x_ref.numpy())
+                ref_unc.append(_to_nhwc(out.uncertainty))
+            x_ref = out.prev_sample.detach()
+            ref_traj.append(_to_nhwc(x_ref))
 
     def model_fn(x, t, key):
-        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0)
+        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0) + 0.2 * jnp.tanh(x)
 
     schedule = make_schedule("linear", 1000)
     cfg = SamplerConfig(
         num_inference_steps=steps, after_step=after_step, num_steps_uc=num_steps_uc
     )
-    est = make_estimator(
-        EstimatorConfig(name="uncertainty_zigzag_centered", M=M, num_zigzag=num_zigzag)
-    )
+    est = guidance = None
+    if name == "uncertainty_grad":
+        from ..uncertainty.guidance import make_uncertainty_grad_guidance
+
+        guidance = make_uncertainty_grad_guidance(M=M)
+    else:
+        est = make_estimator(EstimatorConfig(name=name, M=M, num_zigzag=num_zigzag))
     res = sample_ddim(
         model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
-        estimator=est, collect_intermediates=True,
+        estimator=est, guidance=guidance, collect_intermediates=True,
     )
 
     diffs: Dict[str, float] = {}
     traj = np.asarray(res.intermediates, np.float32)
     assert traj.shape[0] == len(ref_traj), (traj.shape, len(ref_traj))
+    # guidance modifies the in-window trajectory with independent noise draws
+    # on the two sides — compare the deterministic pre-window prefix there
+    n_traj = after_step if guidance is not None else len(ref_traj)
     diffs["traj"] = max(
-        _max_diff(r, traj[i]) for i, r in enumerate(ref_traj)
+        _max_diff(r, traj[i]) for i, r in enumerate(ref_traj[:n_traj])
     )
     unc = np.asarray(res.uncertainty, np.float32)
     assert unc.shape[0] == len(ref_unc), (unc.shape, len(ref_unc))
@@ -481,6 +535,11 @@ def zigzag_window_diff(
         mr, mo = float(r.mean()), float(o.mean())
         diffs[f"u_rel[{i}]"] = abs(mr - mo) / max(abs(mr), 1e-12)
     return diffs
+
+
+def zigzag_window_diff(**kwargs) -> Dict[str, float]:
+    """Flagship-estimator alias of :func:`estimator_window_diff`."""
+    return estimator_window_diff("uncertainty_zigzag_centered", **kwargs)
 
 
 def vae_diffs(

@@ -15,7 +15,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     reference_available,
     uvit_block_diffs,
     vae_diffs,
-    zigzag_window_diff,
+    estimator_window_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -46,19 +46,30 @@ def test_vae_matches_reference():
 
 
 @needs_ref
-def test_zigzag_window_matches_reference_scheduler_fork():
-    """Whole-window oracle against the reference's ACTUAL zigzag scheduler
-    (scheduling_ddim_uncertainty_zigzag_centered.py, imported through the
-    diffusers shim). Trajectory must match exactly (eta=0); the mean
-    uncertainty map per window step must agree statistically (independent
-    noise draws, M=192 → s.e. well under 1%). Pins the predict_next=True
-    hardcoding (:272), the window bounds (:383-384), and the mean-square
-    reduction (:549)."""
-    diffs = zigzag_window_diff()
+@pytest.mark.parametrize(
+    "name",
+    [
+        "uncertainty_zigzag_centered",
+        "uncertainty_centered",
+        "infer_noise",
+        "uncertainty_image",
+        "uncertainty_grad",
+    ],
+)
+def test_estimator_window_matches_reference_scheduler_fork(name):
+    """Whole-window oracles against the reference's ACTUAL scheduler forks
+    (schedulers_uncertainty/*.py, imported through the diffusers shim).
+    Trajectory must match exactly (eta=0; pre-window prefix for the
+    trajectory-modifying grad fork); the mean uncertainty map per window step
+    must agree statistically (independent noise draws, M=192 → s.e. well
+    under 1%). Pins predict_next hardcodings, window bounds, mean-square vs
+    Var(ddof=1) reductions, image-space propagation, and the grad fork's
+    ᾱ-scaled eps update."""
+    diffs = estimator_window_diff(name)
     assert diffs["traj"] < 1e-4, diffs
     u_rels = {k: v for k, v in diffs.items() if k.startswith("u_rel")}
     assert len(u_rels) == 3
-    assert max(u_rels.values()) < 0.04, diffs
+    assert max(u_rels.values()) < 0.04, (name, diffs)
 
 
 @needs_ref

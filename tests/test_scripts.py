@@ -43,6 +43,24 @@ def test_compute_ause_synthetic(root):
     assert (paths.ause() / "tiny" / "results_uncertainty_centered.yaml").exists()
 
 
+def test_generate_uncertainty_grad_guidance_path(root):
+    """scheduler_type=uncertainty_grad routes through the fork-exact guidance
+    (trajectory eps update + Var map) rather than a pure estimator."""
+    from diffusion_uncertainty_tpu.scripts.generate_dataset_score_uncertainty import main as gen
+
+    run_dir = gen(COMMON + [
+        "--scheduler-type", "uncertainty_grad", "--num-samples", "4",
+        "--batch-size", "2", "--generation-steps", "4", "--M", "2",
+        "--start-step-uc", "1", "--num-steps-uc", "2",
+    ])
+    u_files = sorted(run_dir.glob("uncertainty_*.npz"))
+    assert u_files, list(run_dir.iterdir())
+    with np.load(u_files[0]) as f:
+        u = f[f.files[0]]
+    assert np.isfinite(u).all()
+    assert (u >= 0).all()  # Var map, not a signed gradient
+
+
 def test_fid_stats_and_drop(root):
     from diffusion_uncertainty_tpu.scripts.compute_fid import main as fid_main
     from diffusion_uncertainty_tpu.scripts.generate_dataset_score_uncertainty import main as gen
