@@ -381,6 +381,7 @@ _REF_SCHED_MODULES = {
     "infer_noise": "scheduling_ddim_infer_noise",
     "uncertainty_image": "scheduling_ddim_uncertainty_image",
     "uncertainty_grad": "scheduling_ddim_uncertainty_grad",
+    "flip": "scheduling_ddim_flip",
 }
 
 def estimator_window_diff(
@@ -440,14 +441,20 @@ def estimator_window_diff(
         f"schedulers_uncertainty.{_REF_SCHED_MODULES[name]}", root
     )
 
-    def eps_fn_torch(x, t):
-        # the tanh term keeps the model NONLINEAR in x: a linear model makes
-        # Var_m shift-invariant in eps and the grad fork's update identically
-        # zero, leaving its ᾱ-scaled eps path unexercised
+    # the analytic model is deliberately NONLINEAR in x (a linear model makes
+    # Var_m shift-invariant in eps, leaving the grad fork's update identically
+    # zero) and SPATIALLY NON-UNIFORM (an elementwise model makes the flip
+    # fork's u ≡ 0): eps = 0.3·x·cos(t/1000) + 0.2·tanh(x) + 0.1·g(h,w)
+    hh = np.arange(size, dtype=np.float32)
+    ww = np.arange(size, dtype=np.float32)
+    g_hw = 0.1 * np.sin(0.7 * hh)[:, None] * np.cos(1.3 * ww)[None, :]
+
+    def eps_fn_torch(x, t):  # NCHW
         tt = torch.as_tensor(t, dtype=torch.float32)
         if tt.ndim == 1:  # trait-style predict_model passes a [B] tensor
             tt = tt.reshape((-1,) + (1,) * (x.ndim - 1))
-        return 0.3 * x * torch.cos(tt / 1000.0) + 0.2 * torch.tanh(x)
+        g = torch.from_numpy(g_hw)[None, None]
+        return 0.3 * x * torch.cos(tt / 1000.0) + 0.2 * torch.tanh(x) + g
 
     class _Out:
         """One return object for every fork convention: ``out[0]`` (diffusers
@@ -501,8 +508,10 @@ def estimator_window_diff(
             x_ref = out.prev_sample.detach()
             ref_traj.append(_to_nhwc(x_ref))
 
+    g_j = jnp.asarray(g_hw)[None, :, :, None]  # NHWC
+
     def model_fn(x, t, key):
-        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0) + 0.2 * jnp.tanh(x)
+        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0) + 0.2 * jnp.tanh(x) + g_j
 
     schedule = make_schedule("linear", 1000)
     cfg = SamplerConfig(

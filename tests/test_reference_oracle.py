@@ -54,6 +54,7 @@ def test_vae_matches_reference():
         "infer_noise",
         "uncertainty_image",
         "uncertainty_grad",
+        "flip",
     ],
 )
 def test_estimator_window_matches_reference_scheduler_fork(name):
