@@ -64,12 +64,33 @@ def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
     return (1 - w) * low_idx + w * high_idx
 
 
+def _dpm_spaced_timesteps(
+    num_train_timesteps: int, n: int, spacing: str, steps_offset: int
+) -> np.ndarray:
+    """The DPM fork's spacing conventions differ from the DDIM family's:
+    linspace/leading sample n+1 points and DROP the final (t=0) one
+    (``scheduling_dpm_2_uncertainty_centered.py:301-315``), so the chain's
+    last model call sits one stride above zero and the terminal σ entry
+    (``final_sigmas_type``) provides the landing point."""
+    if spacing == "linspace":
+        ts = np.linspace(0, num_train_timesteps - 1, n + 1).round()[::-1][:-1]
+    elif spacing == "leading":
+        ratio = num_train_timesteps // (n + 1)
+        ts = (np.arange(0, n + 1) * ratio).round()[::-1][:-1] + steps_offset
+    elif spacing == "trailing":
+        ratio = num_train_timesteps / n
+        ts = np.arange(num_train_timesteps, 0, -ratio).round()
+    else:
+        raise ValueError(f"unknown timestep spacing: {spacing!r}")
+    return ts.astype(np.int64)
+
+
 def _tables(schedule: NoiseSchedule, cfg: DPMSolverConfig):
     """Per-step σ/α/λ tables incl. the terminal sigma (length n+1)."""
     ab = np.asarray(schedule.alphas_cumprod, np.float64)
     all_sigmas = np.sqrt((1 - ab) / ab)
     log_sigmas = np.log(all_sigmas)
-    ts = spaced_timesteps(
+    ts = _dpm_spaced_timesteps(
         cfg.num_train_timesteps, cfg.num_inference_steps, cfg.timestep_spacing, cfg.steps_offset
     ).astype(np.float64)
 
@@ -93,12 +114,16 @@ def _tables(schedule: NoiseSchedule, cfg: DPMSolverConfig):
     n = cfg.num_inference_steps
     # static per-step order schedule (the reference keeps this as mutable
     # ``lower_order_nums`` state, ``scheduling_dpm_2_uncertainty_centered.py:915-921``):
-    # warmup steps i run at order min(solver_order, i+1); under
-    # lower_order_final the tail steps drop to min(order, n-i) so the chain
-    # ends on a stable order-1 update (always when final sigma is zero).
+    # warmup steps i run at order min(solver_order, i+1). Tail semantics
+    # mirror the fork's two flags exactly: the FINAL step drops to order 1
+    # when lower_order_final·(n<15) or final σ is zero; step n-2 caps at
+    # order 2 only under lower_order_final·(n<15) (``:915-922``) — for
+    # solver_order ≤ 3 and n < 15 that equals the min(order, n-i) ramp.
     order = np.minimum(cfg.solver_order, np.arange(1, n + 1))
-    if cfg.lower_order_final and (n < 15 or cfg.final_sigmas_type == "zero"):
+    if cfg.lower_order_final and n < 15:
         order = np.minimum(order, np.arange(n, 0, -1))
+    elif cfg.final_sigmas_type == "zero" and n >= 1:
+        order[-1] = 1
     return ts.astype(np.int32), sigmas, alpha_t, sigma_t, lambda_t, order.astype(np.int32)
 
 

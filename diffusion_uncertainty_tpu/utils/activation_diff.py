@@ -34,6 +34,7 @@ __all__ = [
     "uvit_block_diffs",
     "vae_diffs",
     "ddim_loop_diff",
+    "dpm_loop_diff",
     "estimator_window_diff",
     "zigzag_window_diff",
     "reference_available",
@@ -374,6 +375,56 @@ def ddim_loop_diff(
     return diffs
 
 
+def _oracle_models(size: int):
+    """(torch NCHW fn, jax NHWC fn) of the SAME analytic epsilon model.
+
+    Deliberately NONLINEAR in x (a linear model makes Var_m shift-invariant
+    in eps, leaving the grad fork's update identically zero) and SPATIALLY
+    NON-UNIFORM (an elementwise model makes the flip fork's u ≡ 0):
+    eps = 0.3·x·cos(t/1000) + 0.2·tanh(x) + 0.1·sin(0.7h)·cos(1.3w).
+    """
+    import jax.numpy as jnp
+    import torch
+
+    hh = np.arange(size, dtype=np.float32)
+    ww = np.arange(size, dtype=np.float32)
+    g_hw = 0.1 * np.sin(0.7 * hh)[:, None] * np.cos(1.3 * ww)[None, :]
+    g_t = torch.from_numpy(g_hw)[None, None]  # NCHW
+    g_j = jnp.asarray(g_hw)[None, :, :, None]  # NHWC
+
+    def eps_fn_torch(x, t):
+        tt = torch.as_tensor(t, dtype=torch.float32)
+        if tt.ndim == 1:  # trait-style predict_model passes a [B] tensor
+            tt = tt.reshape((-1,) + (1,) * (x.ndim - 1))
+        return 0.3 * x * torch.cos(tt / 1000.0) + 0.2 * torch.tanh(x) + g_t
+
+    def model_fn(x, t, key):
+        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0) + 0.2 * jnp.tanh(x) + g_j
+
+    return eps_fn_torch, model_fn
+
+
+class _OracleOut:
+    """One return object for every fork convention: ``out[0]`` (diffusers
+    tuple), ``out.sample`` (UNet2DModel output), and ``out[:, :3]`` (the
+    trait's raw-tensor channel slice) all yield the eps tensor."""
+
+    def __init__(self, eps):
+        self.sample = eps
+
+    def __getitem__(self, idx):
+        return self.sample if idx == 0 else self.sample[idx]
+
+
+def _make_oracle_unet(eps_fn_torch):
+    class _AnalyticUNet:
+        def __call__(self, x, t, encoder_hidden_states=None,
+                     cross_attention_kwargs=None, return_dict=False, y=None):
+            return _OracleOut(eps_fn_torch(x, t))
+
+    return _AnalyticUNet()
+
+
 # our estimator/guidance registry name -> the reference's scheduler fork
 _REF_SCHED_MODULES = {
     "uncertainty_zigzag_centered": "scheduling_ddim_uncertainty_zigzag_centered",
@@ -441,40 +492,9 @@ def estimator_window_diff(
         f"schedulers_uncertainty.{_REF_SCHED_MODULES[name]}", root
     )
 
-    # the analytic model is deliberately NONLINEAR in x (a linear model makes
-    # Var_m shift-invariant in eps, leaving the grad fork's update identically
-    # zero) and SPATIALLY NON-UNIFORM (an elementwise model makes the flip
-    # fork's u ≡ 0): eps = 0.3·x·cos(t/1000) + 0.2·tanh(x) + 0.1·g(h,w)
-    hh = np.arange(size, dtype=np.float32)
-    ww = np.arange(size, dtype=np.float32)
-    g_hw = 0.1 * np.sin(0.7 * hh)[:, None] * np.cos(1.3 * ww)[None, :]
+    eps_fn_torch, model_fn = _oracle_models(size)
 
-    def eps_fn_torch(x, t):  # NCHW
-        tt = torch.as_tensor(t, dtype=torch.float32)
-        if tt.ndim == 1:  # trait-style predict_model passes a [B] tensor
-            tt = tt.reshape((-1,) + (1,) * (x.ndim - 1))
-        g = torch.from_numpy(g_hw)[None, None]
-        return 0.3 * x * torch.cos(tt / 1000.0) + 0.2 * torch.tanh(x) + g
-
-    class _Out:
-        """One return object for every fork convention: ``out[0]`` (diffusers
-        tuple), ``out.sample`` (UNet2DModel output), and ``out[:, :3]``
-        (the trait's raw-tensor channel slice) all yield the eps tensor."""
-
-        def __init__(self, eps):
-            self.sample = eps
-
-        def __getitem__(self, idx):
-            return self.sample if idx == 0 else self.sample[idx]
-
-    class _AnalyticUNet:
-        """eps(x, t) = 0.3·x·cos(t/1000) — elementwise, so NCHW == NHWC."""
-
-        def __call__(self, x, t, encoder_hidden_states=None,
-                     cross_attention_kwargs=None, return_dict=False, y=None):
-            return _Out(eps_fn_torch(x, t))
-
-    unet = _AnalyticUNet()
+    unet = _make_oracle_unet(eps_fn_torch)
     torch.manual_seed(seed)
     import inspect
 
@@ -507,11 +527,6 @@ def estimator_window_diff(
                 ref_unc.append(_to_nhwc(out.uncertainty))
             x_ref = out.prev_sample.detach()
             ref_traj.append(_to_nhwc(x_ref))
-
-    g_j = jnp.asarray(g_hw)[None, :, :, None]  # NHWC
-
-    def model_fn(x, t, key):
-        return 0.3 * x * jnp.cos(t.astype(jnp.float32) / 1000.0) + 0.2 * jnp.tanh(x) + g_j
 
     schedule = make_schedule("linear", 1000)
     cfg = SamplerConfig(
@@ -549,6 +564,75 @@ def estimator_window_diff(
 def zigzag_window_diff(**kwargs) -> Dict[str, float]:
     """Flagship-estimator alias of :func:`estimator_window_diff`."""
     return estimator_window_diff("uncertainty_zigzag_centered", **kwargs)
+
+
+def dpm_loop_diff(
+    steps: int = 12,
+    solver_order: int = 2,
+    timestep_spacing: str = "linspace",
+    use_karras_sigmas: bool = False,
+    batch: int = 2,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> float:
+    """Whole-loop DPM-Solver++ trajectory oracle vs the reference's
+    ``KDPM2DiscreteSchedulerUncertainty`` (``scheduling_dpm_2_uncertainty_
+    centered.py:876-940``): runs its full multistep loop (convert_model_output
+    + order-1/2/3 updates + lower-order tail flags) and ``sample_dpm_solver``
+    with the same analytic model, and returns max|Δ| of the FINAL sample.
+    The non-SDE dpmsolver++ trajectory is noise-free, so this is exact; it
+    pins the fork's n+1-point timestep spacings, the σ/λ tables, and the
+    static order schedule against the reference's mutable-state loop.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.dpm_solver import DPMSolverConfig, sample_dpm_solver
+    from ..diffusion.schedule import make_schedule
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "schedulers_uncertainty.scheduling_dpm_2_uncertainty_centered", root
+    )
+    eps_fn_torch, model_fn = _oracle_models(size)
+    torch.manual_seed(seed)
+    # after_step=steps-1/num_steps_uc=1 keeps the fork's uncertainty block to
+    # one cheap M=1 call (a 0-length window would make its `end<=t<=after`
+    # bound span every step); the block does not touch the trajectory
+    # the Imagenet subclass carries predict_model (the base fork has none)
+    sched_ref = mod.KDPM2SchedulerUncertaintyImagenet(
+        solver_order=solver_order,
+        timestep_spacing=timestep_spacing,
+        use_karras_sigmas=use_karras_sigmas,
+        M=1, after_step=steps - 1, num_steps_uc=1,
+        unet=_make_oracle_unet(eps_fn_torch),
+    )
+    sched_ref.set_timesteps(steps)
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, size, size, channels).astype(np.float32)
+    x_ref = torch.from_numpy(x_T.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for t in sched_ref.timesteps:
+            eps = eps_fn_torch(x_ref, t)
+            x_ref = sched_ref.step(eps, t, x_ref).prev_sample
+    final_ref = _to_nhwc(x_ref)
+
+    cfg = DPMSolverConfig(
+        num_inference_steps=steps,
+        solver_order=solver_order,
+        timestep_spacing=timestep_spacing,
+        use_karras_sigmas=use_karras_sigmas,
+    )
+    res = sample_dpm_solver(
+        model_fn, make_schedule("linear", 1000), jnp.asarray(x_T),
+        jax.random.key(seed), cfg,
+    )
+    return _max_diff(final_ref, np.asarray(res.sample, np.float32))
 
 
 def vae_diffs(

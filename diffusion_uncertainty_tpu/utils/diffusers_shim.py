@@ -71,7 +71,9 @@ def install_diffusers_shim() -> bool:
         pass
 
     class SchedulerOutput:
-        pass
+        def __init__(self, **kwargs):
+            for k, v in kwargs.items():
+                setattr(self, k, v)
 
     class UNet2DModel:  # type-annotation / isinstance target only
         pass

@@ -16,6 +16,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     uvit_block_diffs,
     vae_diffs,
     estimator_window_diff,
+    dpm_loop_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -71,6 +72,23 @@ def test_estimator_window_matches_reference_scheduler_fork(name):
     u_rels = {k: v for k, v in diffs.items() if k.startswith("u_rel")}
     assert len(u_rels) == 3
     assert max(u_rels.values()) < 0.04, (name, diffs)
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "order,spacing,karras",
+    [(1, "linspace", False), (2, "linspace", False), (3, "linspace", False),
+     (2, "leading", False), (2, "linspace", True)],
+)
+def test_dpm_whole_loop_matches_reference_fork(order, spacing, karras):
+    """Whole-loop DPM-Solver++ trajectory oracle vs the reference's
+    KDPM2SchedulerUncertaintyImagenet (scheduling_dpm_2_uncertainty_centered
+    .py:876-940): the non-SDE dpmsolver++ loop is noise-free, so the final
+    samples must agree up to f32 table roundoff (the fork builds its σ/λ
+    tables in float32; ours are float64 — measured ~5e-5 across configs,
+    independent of order/spacing)."""
+    d = dpm_loop_diff(solver_order=order, timestep_spacing=spacing, use_karras_sigmas=karras)
+    assert d < 5e-4, (order, spacing, karras, d)
 
 
 @needs_ref
