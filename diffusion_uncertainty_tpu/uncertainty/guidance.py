@@ -244,7 +244,10 @@ def make_mask_guidance(
         ) / jnp.sqrt(ab_t)
         if dcfg.clip_sample:
             x0 = jnp.clip(x0, -dcfg.clip_sample_range, dcfg.clip_sample_range)
-        return _recompute_prev(schedule, state, new_eps, dcfg, x0=x0), u, aux
+        # the recorded map is what the reference stores on its output: the
+        # z-normalized u when uncertainty_normalize is set (``:539-540``
+        # overwrites `uncertainty` before the output object is built)
+        return _recompute_prev(schedule, state, new_eps, dcfg, x0=x0), un, aux
 
     return Guidance(_no_aux_init, apply)
 
@@ -283,7 +286,15 @@ def make_model_gradient_guidance(
     ensemble_chunk: int = 0,
 ) -> Guidance:
     """eps' = eps + lr·∂(centered ensemble variance)/∂eps (reference
-    ``scheduling_ddim_model_gradient_guided.py:518-563``)."""
+    ``scheduling_ddim_model_gradient_guided.py:518-563``, lr=0.01 at ``:554``).
+
+    The reference fork's own uncertainty block is BROKEN code: its
+    ``with torch.no_grad(False)`` (``:519``) raises TypeError the moment a
+    window step executes (verified against the installed torch), so no
+    runtime oracle exists for this variant. This implementation realizes the
+    evident intent: Var_m(ddof=1) over M re-noised forwards, batch-mean+sum
+    scalarization, eps' = eps + 0.01·grad, x_{t-1} recomputed from the
+    updated eps."""
 
     def apply(model_fn, schedule, state: StepState, key, aux):
         ab_t = schedule.alpha_bar(state.timestep)

@@ -433,6 +433,7 @@ _REF_SCHED_MODULES = {
     "uncertainty_image": "scheduling_ddim_uncertainty_image",
     "uncertainty_grad": "scheduling_ddim_uncertainty_grad",
     "flip": "scheduling_ddim_flip",
+    "uncertainty_threshold": "scheduling_ddim_uncertainty_threshold",
 }
 
 def estimator_window_diff(
@@ -446,6 +447,7 @@ def estimator_window_diff(
     size: int = 8,
     channels: int = 3,
     seed: int = 0,
+    threshold: float = 1e9,  # uncertainty_threshold only; ±1e9 = degenerate
     root: str = REFERENCE_ROOT,
 ) -> Dict[str, float]:
     """Whole-window oracle vs the reference's ACTUAL scheduler forks.
@@ -501,6 +503,10 @@ def estimator_window_diff(
     ctor_kwargs = dict(
         M=M, after_step=after_step, num_steps_uc=num_steps_uc,
         unet=unet, num_zigzag=num_zigzag,
+        # normalize off: the fork records the z-normalized map when set,
+        # whose ~0 mean makes a mean-relative comparison meaningless
+        uncertainty_threshold=threshold, uncertainty_threshold_mode="max",
+        uncertainty_normalize=False,
     )
     sig = inspect.signature(mod.DDIMSchedulerUncertainty.__init__)
     # the decorated __init__ signature still lists the real params
@@ -537,6 +543,13 @@ def estimator_window_diff(
         from ..uncertainty.guidance import make_uncertainty_grad_guidance
 
         guidance = make_uncertainty_grad_guidance(M=M)
+    elif name == "uncertainty_threshold":
+        from ..uncertainty.guidance import make_mask_guidance
+
+        guidance = make_mask_guidance(
+            EstimatorConfig(name="infer_noise", M=M),
+            threshold=threshold, threshold_mode="max", normalize=False,
+        )
     else:
         est = make_estimator(EstimatorConfig(name=name, M=M, num_zigzag=num_zigzag))
     res = sample_ddim(
@@ -548,8 +561,12 @@ def estimator_window_diff(
     traj = np.asarray(res.intermediates, np.float32)
     assert traj.shape[0] == len(ref_traj), (traj.shape, len(ref_traj))
     # guidance modifies the in-window trajectory with independent noise draws
-    # on the two sides — compare the deterministic pre-window prefix there
+    # on the two sides — compare the deterministic pre-window prefix there,
+    # EXCEPT when a degenerate (±inf-like) threshold makes the binary mask
+    # constant and the whole guided trajectory deterministic again
     n_traj = after_step if guidance is not None else len(ref_traj)
+    if name == "uncertainty_threshold" and abs(threshold) >= 1e6:
+        n_traj = len(ref_traj)
     diffs["traj"] = max(
         _max_diff(r, traj[i]) for i, r in enumerate(ref_traj[:n_traj])
     )

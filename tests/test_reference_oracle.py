@@ -48,17 +48,21 @@ def test_vae_matches_reference():
 
 @needs_ref
 @pytest.mark.parametrize(
-    "name",
+    "name,kwargs",
     [
-        "uncertainty_zigzag_centered",
-        "uncertainty_centered",
-        "infer_noise",
-        "uncertainty_image",
-        "uncertainty_grad",
-        "flip",
+        ("uncertainty_zigzag_centered", {}),
+        ("uncertainty_centered", {}),
+        ("infer_noise", {}),
+        ("uncertainty_image", {}),
+        ("uncertainty_grad", {}),
+        ("flip", {}),
+        # degenerate ±thresholds make the binary mask constant, so the WHOLE
+        # guided trajectory (masked-eps recompute path) is compared exactly
+        ("uncertainty_threshold", {"threshold": 1e9}),
+        ("uncertainty_threshold", {"threshold": -1e9}),
     ],
 )
-def test_estimator_window_matches_reference_scheduler_fork(name):
+def test_estimator_window_matches_reference_scheduler_fork(name, kwargs):
     """Whole-window oracles against the reference's ACTUAL scheduler forks
     (schedulers_uncertainty/*.py, imported through the diffusers shim).
     Trajectory must match exactly (eta=0; pre-window prefix for the
@@ -67,7 +71,7 @@ def test_estimator_window_matches_reference_scheduler_fork(name):
     under 1%). Pins predict_next hardcodings, window bounds, mean-square vs
     Var(ddof=1) reductions, image-space propagation, and the grad fork's
     ᾱ-scaled eps update."""
-    diffs = estimator_window_diff(name)
+    diffs = estimator_window_diff(name, **kwargs)
     assert diffs["traj"] < 1e-4, diffs
     u_rels = {k: v for k, v in diffs.items() if k.startswith("u_rel")}
     assert len(u_rels) == 3
