@@ -147,6 +147,7 @@ def sample_dpm_solver(
     cfg: DPMSolverConfig,
     estimator: Optional[EstimatorFn] = None,
     guidance=None,
+    estimator_model_fn: Optional[ModelFn] = None,
 ) -> SampleResult:
     """Full reverse chain under DPM-Solver++ (orders 1-3, diffusers
     ``multistep_dpm_solver_{first,second,third}_order_update`` — reference
@@ -244,10 +245,11 @@ def sample_dpm_solver(
             timestep=t,
             prev_timestep=t - step_ratio,
         )
+        est_fn = estimator_model_fn if estimator_model_fn is not None else model_fn
         if guidance is not None:
-            next_x, u, aux = guidance.apply(model_fn, schedule, state, k_est, aux)
+            next_x, u, aux = guidance.apply(est_fn, schedule, state, k_est, aux)
         else:
-            u = estimator(model_fn, schedule, state, k_est)
+            u = estimator(est_fn, schedule, state, k_est)
         return (next_x, x0, x0_prev, k, aux), (u, state.pred_epsilon)
 
     idx = jnp.arange(n)

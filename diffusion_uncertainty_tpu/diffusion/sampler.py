@@ -99,6 +99,7 @@ def sample_ddim(
     estimator: Optional[EstimatorFn] = None,
     guidance=None,  # Optional[uncertainty.guidance.Guidance]
     collect_intermediates: bool = False,
+    estimator_model_fn: Optional[ModelFn] = None,
 ) -> SampleResult:
     """Run the full reverse chain; jit/pjit-able end to end.
 
@@ -106,6 +107,15 @@ def sample_ddim(
     class_conditioned_from_tensor`` (ref ``generate_samples.py:127-195``) with
     the scheduler-held model replaced by ``model_fn`` and per-step host
     transfers replaced by on-device window accumulation (SURVEY.md §7.1.4).
+
+    ``estimator_model_fn``: the model the ESTIMATOR/guidance ensemble calls,
+    when different from the trajectory model. The reference's stochastic
+    variants flip the unet into its noisy mode only inside the uncertainty
+    block (mc_dropout ``unet.train()``/``eval()``
+    ``scheduling_ddim_mc_dropout.py:499,519``; activation-noise hooks
+    registered/removed ``scheduling_ddim_uncertainty.py:520-542``) and
+    classifier guidance modifies only the trajectory's model output — the
+    trajectory forward stays deterministic/plain.
     """
     dcfg = cfg.diffusion
     ts_host = spaced_timesteps(
@@ -145,10 +155,11 @@ def sample_ddim(
             timestep=t,
             prev_timestep=t_prev,
         )
+        est_fn = estimator_model_fn if estimator_model_fn is not None else model_fn
         if guidance is not None:
-            next_x, u, aux = guidance.apply(model_fn, schedule, state, k_est, aux)
+            next_x, u, aux = guidance.apply(est_fn, schedule, state, k_est, aux)
         else:
-            u = estimator(model_fn, schedule, state, k_est)
+            u = estimator(est_fn, schedule, state, k_est)
             next_x = step.prev_sample
         ys = next_x if collect_intermediates else None
         return (next_x, k, aux), (u, step.pred_epsilon, ys)
@@ -189,6 +200,7 @@ def sample_ddpm(
     cfg: SamplerConfig,
     variance_type: str = "fixed_small",
     estimator: Optional[EstimatorFn] = None,
+    estimator_model_fn: Optional[ModelFn] = None,
 ) -> SampleResult:
     """Ancestral (stochastic) DDPM chain — the plain baseline scheduler family
     (reference ``init_scheduler`` returns DDPMScheduler, ``init_model.py:39,136``).
@@ -222,7 +234,8 @@ def sample_ddpm(
             # k_est is split from k_n so the estimator's ensemble draws are
             # independent of the ancestral step noise (round-1 review fix).
             state = StepState(x, step.pred_original_sample, step.pred_epsilon, step.prev_sample, t, t_prev)
-            u = estimator(model_fn, schedule, state, k_est)
+            est_fn = estimator_model_fn if estimator_model_fn is not None else model_fn
+            u = estimator(est_fn, schedule, state, k_est)
         return (step.prev_sample, k), u
 
     w0, w1 = (0, 0)

@@ -72,6 +72,7 @@ def generate_uncertainty_dataset(
     decode_fn=None,  # latent models: latents -> images before uint8
     sampler: str = "ddim",  # ddim | dpm (DPM-Solver++ order 2)
     fid_evaluator=None,  # metrics.fid.FIDEvaluator updated per batch (ref generate_samples.py:203-218)
+    estimator_apply_fn: ApplyFn = None,  # stochastic-variant model for the u ensemble only
 ) -> GenerationResult:
     n = X_T.shape[0]
     num_batches = (n + batch_size - 1) // batch_size
@@ -89,10 +90,18 @@ def generate_uncertainty_dataset(
 
     def sample_fn(p, xT, yb, key):
         model_fn = lambda x, t, k: apply_fn(p, x, t, yb, k)
+        # the reference's stochastic variants (mc_dropout / activation-noise)
+        # enable their noise only inside the uncertainty block — the
+        # trajectory forward stays deterministic (scheduling_ddim_mc_dropout
+        # .py:499,519; scheduling_ddim_uncertainty.py:520-542)
+        est_fn = (
+            (lambda x, t, k: estimator_apply_fn(p, x, t, yb, k))
+            if estimator_apply_fn is not None else None
+        )
         if sampler == "dpm":
-            res = sample_dpm_solver(model_fn, schedule, xT, key, dpm_cfg, estimator=estimator, guidance=guidance)
+            res = sample_dpm_solver(model_fn, schedule, xT, key, dpm_cfg, estimator=estimator, guidance=guidance, estimator_model_fn=est_fn)
         else:
-            res = sample_ddim(model_fn, schedule, xT, key, sampler_cfg, estimator=estimator, guidance=guidance)
+            res = sample_ddim(model_fn, schedule, xT, key, sampler_cfg, estimator=estimator, guidance=guidance, estimator_model_fn=est_fn)
         if decode_fn is not None:
             res = res._replace(sample=decode_fn(p, res.sample))
         return res

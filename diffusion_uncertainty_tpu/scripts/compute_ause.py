@@ -80,7 +80,7 @@ def main(argv=None):
         cfg.dataset, dropout=0.1 if cfg.scheduler_type == "mc_dropout" else 0.0,
         dtype=dtype, random_init=cfg.random_init,
     )
-    apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
+    apply_fn, estimator_apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
 
     n = cfg.num_steps_uc
     half = n // 2
@@ -102,11 +102,15 @@ def main(argv=None):
 
     def run_batch(p, x0, y, key):
         model_fn = lambda x, t, k: apply_fn(p, x, t, y, k)
+        est_fn = (
+            (lambda x, t, k: estimator_apply_fn(p, x, t, y, k))
+            if estimator_apply_fn is not None else None
+        )
         k_noise, k_sample = jax.random.split(key)
         x0s = 2.0 * x0 - 1.0
         noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
         x_t = bundle.schedule.add_noise(x0s, noise, jnp.asarray(t_mid))
-        res = sample_ddim(model_fn, bundle.schedule, x_t, k_sample, sampler_cfg, estimator=est)
+        res = sample_ddim(model_fn, bundle.schedule, x_t, k_sample, sampler_cfg, estimator=est, estimator_model_fn=est_fn)
         return to_uint8(res.sample), res.uncertainty.sum(axis=0)
 
     run_jit = jax.jit(run_batch)

@@ -75,11 +75,18 @@ class Config:
 
 
 def select_apply_fn(bundle, scheduler_type: str):
+    """(trajectory_fn, estimator_fn-or-None).
+
+    The stochastic variants' noise lives ONLY in the uncertainty ensemble —
+    the reference flips the unet into its noisy mode inside the u block and
+    back out (mc_dropout train()/eval() ``scheduling_ddim_mc_dropout.py:499,
+    519``; activation-noise hooks registered/removed ``scheduling_ddim_
+    uncertainty.py:520-542``), so the trajectory forward is deterministic."""
     if scheduler_type == "mc_dropout":
-        return bundle.apply_fn_dropout
+        return bundle.apply_fn, bundle.apply_fn_dropout
     if scheduler_type in ("uncertainty", "uncertainty_original"):
-        return bundle.apply_fn_act_noise
-    return bundle.apply_fn
+        return bundle.apply_fn, bundle.apply_fn_act_noise
+    return bundle.apply_fn, None
 
 
 def load_starting_points(dataset: str, start: int, stop: int):
@@ -147,11 +154,15 @@ def main(argv=None):
     else:
         estimator = make_estimator(est_cfg, timesteps=ts)
 
-    apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
+    apply_fn, estimator_apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
     params = bundle.params
     if cfg.classifier_scale > 0:
         clf_model, clf_params, _ = load_classifier(cfg.dataset, random_init=cfg.random_init)
         params = {**params, "classifier": clf_params}
+        if estimator_apply_fn is None:
+            # classifier guidance modifies only the trajectory's model output;
+            # the reference's predict_model runs the PLAIN unet in the u block
+            estimator_apply_fn = apply_fn
         apply_fn = with_classifier_guidance(
             apply_fn,
             lambda p, x, t: clf_model.apply(p["classifier"], x, t),
@@ -180,6 +191,7 @@ def main(argv=None):
         seed=cfg.seed,
         estimator=estimator,
         guidance=guidance,
+        estimator_apply_fn=estimator_apply_fn,
         mesh=mesh,
         run_dir=run_dir,
         shard_offset=shard_offset,

@@ -87,7 +87,7 @@ def main(argv=None):
     cfg = parse_config(Config, argv)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
     bundle = instantiate_model_scheduler(cfg.dataset, dtype=dtype, random_init=cfg.random_init)
-    apply_fn = select_apply_fn(bundle, "plain")
+    apply_fn, _ = select_apply_fn(bundle, "plain")
 
     x_t, y = load_starting_points(cfg.dataset, cfg.start_index, cfg.start_index + cfg.num_samples)
     if bundle.num_classes is None:

@@ -64,7 +64,7 @@ def main(argv=None):
         cfg.dataset, dropout=0.1 if cfg.scheduler_type == "mc_dropout" else 0.0,
         dtype=dtype, random_init=cfg.random_init,
     )
-    apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
+    apply_fn, estimator_apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
     size = bundle.image_size
     xT = jax.random.normal(jax.random.key(cfg.seed), (cfg.batch_size, size, size, 3))
     y = jnp.zeros((cfg.batch_size,), jnp.int32)
@@ -84,7 +84,12 @@ def main(argv=None):
     def mf(p):
         return lambda x, t, k: apply_fn(p, x, t, y, k)
 
-    f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est))
+    def emf(p):
+        if estimator_apply_fn is None:
+            return None
+        return lambda x, t, k: estimator_apply_fn(p, x, t, y, k)
+
+    f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est, estimator_model_fn=emf(p)))
     if cfg.baseline == "kdpm2":
         from ..diffusion.kdpm2 import KDPM2Config, sample_kdpm2
 

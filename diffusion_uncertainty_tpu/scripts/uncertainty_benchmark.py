@@ -83,13 +83,13 @@ def main(argv=None):
                 guidance = factory(M=cfg.M)
         else:
             estimator = make_estimator(EstimatorConfig(name=method, M=cfg.M))
-        apply_fn = select_apply_fn(bundle, method)
+        apply_fn, estimator_apply_fn = select_apply_fn(bundle, method)
 
         t0 = time.perf_counter()
         res = generate_uncertainty_dataset(
             apply_fn, bundle.schedule, sampler_cfg, x_t, yy, cfg.batch_size,
             params=bundle.params, seed=cfg.seed, estimator=estimator, guidance=guidance,
-            decode_fn=bundle.decode_fn,
+            estimator_apply_fn=estimator_apply_fn, decode_fn=bundle.decode_fn,
         )
         elapsed = time.perf_counter() - t0
         rec = {

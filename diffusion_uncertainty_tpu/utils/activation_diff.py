@@ -434,6 +434,7 @@ _REF_SCHED_MODULES = {
     "uncertainty_grad": "scheduling_ddim_uncertainty_grad",
     "flip": "scheduling_ddim_flip",
     "uncertainty_threshold": "scheduling_ddim_uncertainty_threshold",
+    "mc_dropout": "scheduling_ddim_mc_dropout",
 }
 
 def estimator_window_diff(
@@ -496,7 +497,25 @@ def estimator_window_diff(
 
     eps_fn_torch, model_fn = _oracle_models(size)
 
-    unet = _make_oracle_unet(eps_fn_torch)
+    if name == "mc_dropout":
+        # the fork flips unet.train() inside the u block and asserts a
+        # Dropout module exists (:499,510-519); the multiplicative-Gaussian
+        # stochastic forward matches the jax-side estimator_model_fn below
+        class _DropoutUNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.drop = torch.nn.Dropout(0.5)
+
+            def forward(self, x, t, encoder_hidden_states=None,
+                        cross_attention_kwargs=None, return_dict=False, y=None):
+                eps = eps_fn_torch(x, t)
+                if self.training:
+                    eps = eps * (1.0 + 0.3 * torch.randn_like(eps))
+                return _OracleOut(eps)
+
+        unet = _DropoutUNet()
+    else:
+        unet = _make_oracle_unet(eps_fn_torch)
     torch.manual_seed(seed)
     import inspect
 
@@ -552,9 +571,18 @@ def estimator_window_diff(
         )
     else:
         est = make_estimator(EstimatorConfig(name=name, M=M, num_zigzag=num_zigzag))
+    est_model_fn = None
+    if name == "mc_dropout":
+        # stochastic ensemble model, deterministic trajectory — exercises the
+        # estimator_model_fn split that mirrors the fork's train()/eval() flip
+        def est_model_fn(x, t, k):
+            return model_fn(x, t, None) * (
+                1.0 + 0.3 * jax.random.normal(k, x.shape, jnp.float32)
+            )
     res = sample_ddim(
         model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
         estimator=est, guidance=guidance, collect_intermediates=True,
+        estimator_model_fn=est_model_fn,
     )
 
     diffs: Dict[str, float] = {}

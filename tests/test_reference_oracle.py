@@ -56,6 +56,9 @@ def test_vae_matches_reference():
         ("uncertainty_image", {}),
         ("uncertainty_grad", {}),
         ("flip", {}),
+        # stochastic model for the ensemble ONLY — pins the train()/eval()
+        # flip (the trajectory forward must stay deterministic)
+        ("mc_dropout", {}),
         # degenerate ±thresholds make the binary mask constant, so the WHOLE
         # guided trajectory (masked-eps recompute path) is compared exactly
         ("uncertainty_threshold", {"threshold": 1e9}),
