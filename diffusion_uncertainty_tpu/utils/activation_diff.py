@@ -434,6 +434,7 @@ _REF_SCHED_MODULES = {
     "uncertainty_grad": "scheduling_ddim_uncertainty_grad",
     "flip": "scheduling_ddim_flip",
     "uncertainty_threshold": "scheduling_ddim_uncertainty_threshold",
+    "multiscale_threshold": "scheduling_ddim_infer_noise_multiscale_threshold",
     "mc_dropout": "scheduling_ddim_mc_dropout",
 }
 
@@ -569,6 +570,15 @@ def estimator_window_diff(
             EstimatorConfig(name="infer_noise", M=M),
             threshold=threshold, threshold_mode="max", normalize=False,
         )
+    elif name == "multiscale_threshold":
+        from ..uncertainty.guidance import make_mask_guidance
+
+        # normalize off ⇒ raw Var ≥ 0 ⇒ the -1/-2/-3 z-levels put every pixel
+        # in the 1.0 band — deterministic trajectory, exact whole-loop compare
+        guidance = make_mask_guidance(
+            EstimatorConfig(name="infer_noise", M=M), mode="multiscale",
+            normalize=False,
+        )
     else:
         est = make_estimator(EstimatorConfig(name=name, M=M, num_zigzag=num_zigzag))
     est_model_fn = None
@@ -594,6 +604,8 @@ def estimator_window_diff(
     # constant and the whole guided trajectory deterministic again
     n_traj = after_step if guidance is not None else len(ref_traj)
     if name == "uncertainty_threshold" and abs(threshold) >= 1e6:
+        n_traj = len(ref_traj)
+    if name == "multiscale_threshold":  # un-normalized ⇒ constant 1.0 band
         n_traj = len(ref_traj)
     diffs["traj"] = max(
         _max_diff(r, traj[i]) for i, r in enumerate(ref_traj[:n_traj])

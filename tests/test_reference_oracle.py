@@ -63,6 +63,7 @@ def test_vae_matches_reference():
         # guided trajectory (masked-eps recompute path) is compared exactly
         ("uncertainty_threshold", {"threshold": 1e9}),
         ("uncertainty_threshold", {"threshold": -1e9}),
+        ("multiscale_threshold", {}),
     ],
 )
 def test_estimator_window_matches_reference_scheduler_fork(name, kwargs):
