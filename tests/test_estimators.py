@@ -73,7 +73,11 @@ def test_mc_dropout_matches_torch_var_ddof1(sched):
 
 
 def test_zigzag_matches_manual_loop(sched):
-    """zigzag_centered against a hand-rolled per-member loop with the same keys."""
+    """zigzag_centered against a hand-rolled per-member loop with the same
+    keys. make_estimator hardcodes predict_next=True for the zigzag names
+    (the reference forks do, scheduling_ddim_uncertainty_zigzag_centered.py
+    :272), so every refinement re-noises from x_{t-1} with the β_t mix and
+    the x1 carry is dead — exactly like the reference's loop."""
     state = make_state(jax.random.key(8))
     cfg = EstimatorConfig(name="uncertainty_zigzag_centered", M=2, num_zigzag=3)
     a = 0.2
@@ -82,19 +86,17 @@ def test_zigzag_matches_manual_loop(sched):
     key = jax.random.key(9)
     u = np.asarray(est(model_fn, sched, state, key))
 
-    ab = float(sched.alphas_cumprod[500])
-    sqrt_ab, sqrt_1mab = np.sqrt(ab), np.sqrt(1 - ab)
+    beta_t = float(sched.betas[500])
+    prev = np.asarray(state.prev_sample, dtype=np.float32)
     member_keys = jax.random.split(key, cfg.M)
     scores = []
     for mk in member_keys:
-        x1 = np.asarray(state.pred_x0, dtype=np.float32)
         ks = jax.random.split(mk, cfg.num_zigzag)
         for kj in ks:
             kn, km = jax.random.split(kj)
-            noise = np.asarray(jax.random.normal(kn, x1.shape))
-            x_hat = sqrt_ab * x1 + sqrt_1mab * noise
+            noise = np.asarray(jax.random.normal(kn, prev.shape))
+            x_hat = np.sqrt(1 - beta_t) * prev + np.sqrt(beta_t) * noise
             score = a * x_hat
-            x1 = (x_hat - sqrt_1mab * score) / sqrt_ab
         scores.append(score)
     expected = np.mean(
         (np.stack(scores) - np.asarray(state.pred_epsilon)[None]) ** 2, axis=0
