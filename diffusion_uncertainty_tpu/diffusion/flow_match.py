@@ -89,15 +89,24 @@ def _quantile_mask(u: jnp.ndarray, percentile: float) -> jnp.ndarray:
     return (u > q).astype(jnp.float32)
 
 
-def _ensemble_vs(velocity_fn, x0, sigma, t, noises, keys, dtype, sequential, remat=False):
-    """M velocity forwards on re-noised x̂ = (1−σ)·x̂0 + σ·n — the flow-match
-    analogue of the reference's √ᾱ re-noising (``uncertainty_guidance.py:88``).
+def _ensemble_vs(velocity_fn, xf, v, sigma, t, noises, keys, dtype, sequential, remat=False):
+    """M velocity forwards on the reference's re-noised inputs.
+
+    The SD3/Flux pipelines pass ``alpha_hat_t := scheduler.sigmas[i]`` into
+    the ε-space formulas (``pipeline_stable_diffusion_3_uncertainty_guided
+    .py:295``), so the reference computes x̂0 = (x − √(1−σ)·v̂)/√σ and
+    x̂_m = √σ·x̂0 + √(1−σ)·n_m (``uncertainty_guidance.py:87-89``) — which
+    simplifies EXACTLY to ``x̂_m = x + √(1−σ)·(n_m − v̂)`` (the √σ cancels;
+    this form also avoids the σ→0 division). The gradient path flows through
+    v̂ here, like the reference's autograd graph.
+
     ``sequential`` runs members one-at-a-time (host-loop mode for multi-B
     models); ``remat`` rematerializes each forward on the backward pass."""
     fwd = lambda xh, kk: velocity_fn(xh.astype(dtype), t, kk)
     if remat:
         fwd = jax.checkpoint(fwd)
-    x_hats = (1.0 - sigma) * x0[None] + sigma * noises
+    root = jnp.sqrt(jnp.maximum(1.0 - sigma, 0.0))
+    x_hats = xf[None] + root * (noises - v[None])
     if sequential:
         vs = jnp.stack([fwd(x_hats[m], keys[m]) for m in range(len(keys))])
     else:
@@ -124,8 +133,7 @@ def _guided_velocity(velocity_fn, x, v, sigma, t, cfg: FlowMatchConfig, k_n, k_e
     dtype = x.dtype
 
     if cfg.use_posterior:
-        x0 = xf - sigma * v
-        vs = _ensemble_vs(velocity_fn, x0, sigma, t, noises, keys, dtype, sequential)
+        vs = _ensemble_vs(velocity_fn, xf, v, sigma, t, noises, keys, dtype, sequential)
         stacked = jnp.concatenate([vs, v[None]], axis=0)
         u = jnp.var(stacked, axis=0, ddof=1)
         inv_var = 1.0 / (u + 1e-20)
@@ -136,9 +144,8 @@ def _guided_velocity(velocity_fn, x, v, sigma, t, cfg: FlowMatchConfig, k_n, k_e
     else:
 
         def scalar_u(vv):
-            x0 = xf - sigma * vv
             vs = _ensemble_vs(
-                velocity_fn, x0, sigma, t, noises, keys, dtype, sequential, remat=True
+                velocity_fn, xf, vv, sigma, t, noises, keys, dtype, sequential, remat=True
             )
             uu = jnp.var(vs, axis=0, ddof=1)
             return jnp.sum(jnp.mean(uu, axis=0)), uu

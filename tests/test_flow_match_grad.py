@@ -2,16 +2,18 @@
 
 The reference's non-posterior branch backprops the scalarized ensemble
 variance to the prediction and applies ``pred + lr*grad*mask``
-(``uncertainty_guidance.py:108,122-129``). Both the DDIM path
-(``make_percentile_guidance(use_posterior=False)``) and the flow-match path
-(``flow_match._guided_velocity``) implement that update. On a toy where the
-re-noised ensemble inputs coincide — x̂0 = 0 and matched noise scales
-sqrt(1-abar) = sigma — the two gradients are analytically related:
-dx̂/dv = -sigma*(1-sigma) (flow) vs dx̂/de = -sigma (DDIM), so
-grad_flow = (1-sigma) * grad_ddim exactly.
+(``uncertainty_guidance.py:108,122-129``), re-noising via the ε-space
+formulas with whatever the caller passes as alpha_hat_t — the SD3/Flux
+pipelines pass σ itself (``pipeline_stable_diffusion_3_uncertainty_guided
+.py:295``). Those formulas simplify to ``x̂_m = x + sqrt(1-ᾱ)·(n_m − pred)``,
+so with ᾱ := σ the DDIM-path guidance and the flow-match path build
+IDENTICAL ensembles from identical (x, pred, noises): uncertainty maps and
+gradient updates must agree exactly.
 
 A second test checks the flow-match gradient against an independent torch
-re-implementation of the reference's backprop (torch autograd as the oracle).
+re-implementation of the reference's backprop — in the reference's own
+UNSIMPLIFIED form (divide by sqrt(σ), re-multiply) with torch autograd as
+the oracle, which also validates the simplification.
 """
 
 import jax
@@ -26,11 +28,10 @@ from diffusion_uncertainty_tpu.diffusion.schedule import NoiseSchedule
 from diffusion_uncertainty_tpu.uncertainty.guidance import make_percentile_guidance, quantile_mask
 
 SIGMA = 0.6
-ABAR = 1.0 - SIGMA**2  # 0.64: makes sqrt(1-abar) == sigma
+ABAR = SIGMA  # the reference passes sigma straight into the abar slot
 ABAR_PREV = 0.9
 SHAPE = (2, 4, 4, 3)
 M = 4
-W = None  # per-channel weights, set in _model
 
 
 def _model(x, t, key):
@@ -64,7 +65,7 @@ def test_flow_match_gradient_agrees_with_ddim_gradient(monkeypatch):
     monkeypatch.setattr(jax.random, "normal", _fixed_normal_stub())
 
     x = jnp.asarray(np.random.default_rng(7).standard_normal(SHAPE) * 0.1, jnp.float32)
-    pred = x / SIGMA  # makes x̂0 == 0 in BOTH parametrizations
+    pred = jnp.asarray(np.random.default_rng(17).standard_normal(SHAPE), jnp.float32)
     lr, percentile = 1.0, 0.7
 
     # flow-match gradient update
@@ -74,7 +75,7 @@ def test_flow_match_gradient_agrees_with_ddim_gradient(monkeypatch):
         jax.random.key(1), jax.random.key(2), sequential=False,
     )
 
-    # DDIM-path gradient update through the guidance factory
+    # DDIM-path gradient update through the guidance factory (abar == sigma)
     sched = _toy_schedule()
     state = StepState(
         sample=x, pred_x0=jnp.zeros_like(x), pred_epsilon=pred,
@@ -94,10 +95,10 @@ def test_flow_match_gradient_agrees_with_ddim_gradient(monkeypatch):
     denom = np.sqrt(1.0 - ABAR_PREV) - np.sqrt(ABAR_PREV * (1.0 - ABAR) / ABAR)
     eps_new = (np.asarray(next_x, np.float64) - coef_x * np.asarray(x, np.float64)) / denom
 
-    # grad_flow = (1-sigma) * grad_ddim  =>  (v' - v) = (1-sigma) * (e' - e)
+    # x̂ = x + sqrt(1-abar)(n - pred) on BOTH paths -> identical gradients
     dv = np.asarray(v_new - pred, np.float64)
     de = eps_new - np.asarray(pred, np.float64)
-    np.testing.assert_allclose(dv, (1.0 - SIGMA) * de, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(dv, de, rtol=1e-4, atol=1e-6)
 
 
 def test_flow_match_gradient_matches_torch_backprop(monkeypatch):
@@ -114,15 +115,19 @@ def test_flow_match_gradient_matches_torch_backprop(monkeypatch):
     )
 
     # torch oracle: the reference's backprop (uncertainty_guidance.py:85-108)
-    # in the flow parametrization with the SAME noises
+    # in its own UNSIMPLIFIED alpha_hat_t := sigma form, with the SAME noises
     noises = np.asarray(_fixed_normal_stub()(None, (M,) + SHAPE))
     xt = torch.tensor(np.asarray(x), dtype=torch.float64)
     vt = torch.tensor(np.asarray(v), dtype=torch.float64, requires_grad=True)
     w = torch.tensor([0.7, -0.4, 1.2], dtype=torch.float64)
-    x0 = xt - SIGMA * vt
+    import math
+
+    x0 = (xt - math.sqrt(1.0 - SIGMA) * vt) / math.sqrt(SIGMA)
     vs = []
     for m in range(M):
-        xh = (1.0 - SIGMA) * x0 + SIGMA * torch.tensor(noises[m], dtype=torch.float64)
+        xh = math.sqrt(SIGMA) * x0 + math.sqrt(1.0 - SIGMA) * torch.tensor(
+            noises[m], dtype=torch.float64
+        )
         vs.append(torch.tanh(xh) * w + 0.3 * xh)
     vs = torch.stack(vs, dim=0)
     ut = torch.var(vs, dim=0, correction=1)
