@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .sampler import EstimatorFn, ModelFn, SampleResult, StepState
-from .schedule import NoiseSchedule, spaced_timesteps, uncertainty_window
+from .schedule import NoiseSchedule, uncertainty_window
 
 __all__ = ["DPMSolverConfig", "sample_dpm_solver"]
 
@@ -91,7 +91,7 @@ def _dpm_spaced_timesteps(
         ts = (np.arange(0, n + 1) * ratio).round()[::-1][:-1] + steps_offset
     elif spacing == "trailing":
         ratio = num_train_timesteps / n
-        ts = np.arange(num_train_timesteps, 0, -ratio).round()
+        ts = np.arange(num_train_timesteps, 0, -ratio).round() - 1  # fork's `timesteps -= 1` (:316)
     else:
         raise ValueError(f"unknown timestep spacing: {spacing!r}")
     return ts.astype(np.int64)
@@ -102,15 +102,14 @@ def _tables(schedule: NoiseSchedule, cfg: DPMSolverConfig):
     ab = np.asarray(schedule.alphas_cumprod, np.float64)
     all_sigmas = np.sqrt((1 - ab) / ab)
     log_sigmas = np.log(all_sigmas)
-    ts = _dpm_spaced_timesteps(
-        cfg.num_train_timesteps, cfg.num_inference_steps, cfg.timestep_spacing, cfg.steps_offset
-    ).astype(np.float64)
-
     if cfg.use_karras_sigmas:
         sigmas = _karras_sigmas(float(all_sigmas.min()), float(all_sigmas.max()), cfg.num_inference_steps)
         t_cont = _sigma_to_t(sigmas, log_sigmas)
         ts = np.round(t_cont).astype(np.int64)
     else:
+        ts = _dpm_spaced_timesteps(
+            cfg.num_train_timesteps, cfg.num_inference_steps, cfg.timestep_spacing, cfg.steps_offset
+        ).astype(np.float64)
         sigmas = np.interp(ts, np.arange(len(all_sigmas)), all_sigmas)
 
     if cfg.final_sigmas_type == "zero":
@@ -160,7 +159,12 @@ def sample_dpm_solver(
     lambda_j = jnp.asarray(lambda_t, jnp.float32)
     order_j = jnp.asarray(order)
 
-    step_ratio = cfg.num_train_timesteps // cfg.num_inference_steps
+    # per-step NEXT timestep from the actual grid (the n+1-point spacings'
+    # stride is NOT num_train//n; a fixed stride fed estimators/guidances a
+    # wrong ᾱ_prev); the final entry extrapolates one stride past the end
+    ts_np = np.asarray(ts_host, np.int64)
+    last_prev = max(2 * ts_np[-1] - ts_np[-2], 0) if len(ts_np) > 1 else 0
+    prev_ts_j = jnp.asarray(np.concatenate([ts_np[1:], [last_prev]]).astype(np.int32))
 
     def convert_to_x0(x, out, i):
         """dpmsolver++ data-prediction conversion (diffusers
@@ -243,7 +247,7 @@ def sample_dpm_solver(
             pred_epsilon=out.astype(jnp.float32),
             prev_sample=next_x,
             timestep=t,
-            prev_timestep=t - step_ratio,
+            prev_timestep=prev_ts_j[i],
         )
         est_fn = estimator_model_fn if estimator_model_fn is not None else model_fn
         if guidance is not None:

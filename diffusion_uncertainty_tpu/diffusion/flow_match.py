@@ -8,11 +8,14 @@ Parity target: the reference's SD3/Flux pipelines run diffusers'
 
 Math: with σ ∈ (1..0] and x_σ = (1−σ)·x0 + σ·ε, the model predicts the
 velocity v = ε − x0; Euler step x_{σ'} = x_σ + (σ' − σ)·v. The uncertainty
-block re-noises x̂ = (1−σ)·x̂0 + σ·n, runs M forwards, and reduces exactly like
-the centered/percentile estimators. In gradient (non-posterior) mode the
-update is the reference's backprop step — the scalarized ensemble variance is
-differentiated through the M re-noised forwards back to the velocity and
-``v' = v + lr·grad·mask`` (``uncertainty_guidance.py:108,122-129``).
+block re-noises the REFERENCE's way: its ε-space formulas receive σ in the
+ᾱ slot (x̂0 = (x − √(1−σ)·v̂)/√σ, x̂_m = √σ·x̂0 + √(1−σ)·n_m,
+``uncertainty_guidance.py:87-89``), which simplifies exactly to
+``x̂_m = x + √(1−σ)·(n_m − v̂)`` — see ``_ensemble_vs``. M forwards reduce
+like the centered/percentile estimators. In gradient (non-posterior) mode
+the update is the reference's backprop step — the scalarized ensemble
+variance is differentiated through the M re-noised forwards back to the
+velocity and ``v' = v + lr·grad·mask`` (``uncertainty_guidance.py:108,122-129``).
 
 Two sigma schedules (both diffusers ``FlowMatchEulerDiscrete``):
   * constant shift (SD3):  σ_i = shift·s/(1+(shift−1)·s)

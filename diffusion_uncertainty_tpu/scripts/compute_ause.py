@@ -93,7 +93,9 @@ def main(argv=None):
         num_steps_uc=n - half,
         start_step=half,
     )
-    est = make_estimator(
+    from ..uncertainty import resolve_scheduler_transform
+
+    est, guid = resolve_scheduler_transform(
         EstimatorConfig(
             name=cfg.scheduler_type, M=cfg.M, num_zigzag=cfg.num_zigzag, predict_next=cfg.predict_next
         ),
@@ -110,7 +112,7 @@ def main(argv=None):
         x0s = 2.0 * x0 - 1.0
         noise = jax.random.normal(k_noise, x0.shape, jnp.float32)
         x_t = bundle.schedule.add_noise(x0s, noise, jnp.asarray(t_mid))
-        res = sample_ddim(model_fn, bundle.schedule, x_t, k_sample, sampler_cfg, estimator=est, estimator_model_fn=est_fn)
+        res = sample_ddim(model_fn, bundle.schedule, x_t, k_sample, sampler_cfg, estimator=est, guidance=guid, estimator_model_fn=est_fn)
         return to_uint8(res.sample), res.uncertainty.sum(axis=0)
 
     run_jit = jax.jit(run_batch)

@@ -140,19 +140,11 @@ def main(argv=None):
     from ..diffusion.schedule import spaced_timesteps
 
     ts = spaced_timesteps(bundle.schedule.num_train_timesteps, cfg.generation_steps)
-    guidance = None
-    if cfg.scheduler_type == "uncertainty_grad":
-        # the reference's grad fork both updates the trajectory (eps += grad·ᾱ_t)
-        # and records Var_m as the map (scheduling_ddim_uncertainty_grad.py:517-571)
-        # — in this framework that is a guidance, not a pure estimator
-        from ..uncertainty.guidance import make_uncertainty_grad_guidance
+    from ..uncertainty import resolve_scheduler_transform
 
-        estimator = None
-        guidance = make_uncertainty_grad_guidance(
-            M=cfg.M, dcfg=DiffusionConfig(eta=cfg.eta), ensemble_chunk=cfg.ensemble_chunk
-        )
-    else:
-        estimator = make_estimator(est_cfg, timesteps=ts)
+    estimator, guidance = resolve_scheduler_transform(
+        est_cfg, timesteps=ts, dcfg=DiffusionConfig(eta=cfg.eta)
+    )
 
     apply_fn, estimator_apply_fn = select_apply_fn(bundle, cfg.scheduler_type)
     params = bundle.params

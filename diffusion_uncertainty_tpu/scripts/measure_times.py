@@ -69,7 +69,9 @@ def main(argv=None):
     xT = jax.random.normal(jax.random.key(cfg.seed), (cfg.batch_size, size, size, 3))
     y = jnp.zeros((cfg.batch_size,), jnp.int32)
 
-    est = make_estimator(
+    from ..uncertainty import resolve_scheduler_transform
+
+    est, guid = resolve_scheduler_transform(
         EstimatorConfig(name=cfg.scheduler_type, M=cfg.M, num_zigzag=cfg.num_zigzag)
     )
     uc_cfg = SamplerConfig(
@@ -89,7 +91,7 @@ def main(argv=None):
             return None
         return lambda x, t, k: estimator_apply_fn(p, x, t, y, k)
 
-    f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est, estimator_model_fn=emf(p)))
+    f_uc = jax.jit(lambda p, x, k: sample_ddim(mf(p), bundle.schedule, x, k, uc_cfg, estimator=est, guidance=guid, estimator_model_fn=emf(p)))
     if cfg.baseline == "kdpm2":
         from ..diffusion.kdpm2 import KDPM2Config, sample_kdpm2
 

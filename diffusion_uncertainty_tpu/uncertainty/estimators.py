@@ -41,6 +41,14 @@ class EstimatorConfig:
     M: int = 5  # MC ensemble size (reference default 30 via CLI, 5 in paper runs)
     num_zigzag: int = 3  # zigzag refinement iterations (ref CLI default 3)
     predict_next: bool = False  # re-noise from x_{t-1} instead of pred_x0
+    # distribution-identical zigzag fast path: under the forks' hardcoded
+    # predict_next=True every refinement re-noises from the SAME x_{t-1} (the
+    # x1 carry is dead) and only the last member survives, so the num_zigzag
+    # iterations are iid draws of one re-noise+forward — collapsing to a
+    # single forward per member cuts the window cost num_zigzag× with the
+    # identical output distribution. Off by default: the reference burns
+    # those forwards, and the headline bench counts them.
+    zigzag_collapse: bool = False
     uncertainty_distance: int = 20  # step-jump for centered_d
     ensemble_chunk: int = 0  # 0 = single vmapped batch; >0 = lax.map over chunks
     eta: float = 0.0  # used by the "image" estimator's x_{t-1} propagation
@@ -120,6 +128,7 @@ def zigzag_centered(model_fn, schedule, state, key, cfg: EstimatorConfig):
     ab_t = schedule.alpha_bar(state.timestep)
     sqrt_ab = jnp.sqrt(ab_t)
     sqrt_1mab = jnp.sqrt(1.0 - ab_t)
+    n_zig = 1 if (cfg.zigzag_collapse and cfg.predict_next) else cfg.num_zigzag
 
     def one_member(k):
         def zig(carry, k_j):
@@ -132,7 +141,7 @@ def zigzag_centered(model_fn, schedule, state, key, cfg: EstimatorConfig):
             x1_next = (x_hat.astype(jnp.float32) - sqrt_1mab * score.astype(jnp.float32)) / sqrt_ab
             return (x1_next, score), None
 
-        ks = jax.random.split(k, cfg.num_zigzag)
+        ks = jax.random.split(k, n_zig)
         (_, last_score), _ = jax.lax.scan(
             zig, (state.pred_x0.astype(jnp.float32), jnp.zeros_like(state.pred_epsilon)), ks
         )

@@ -103,6 +103,25 @@ def _renoised_scores(model_fn, schedule, state, key, M, chunk=0):
     return _ensemble_noised_scores(model_fn, schedule, state, key, cfg)
 
 
+def _variance_scalar(model_fn, schedule, state: StepState, key, M: int, chunk: int):
+    """Differentiable (scalar, u) closure shared by every gradient guidance:
+    Var_m (ddof=1) over M re-noised forwards whose graph flows through
+    pred_epsilon (x0 re-derived from the differentiated eps, un-clipped, like
+    the reference's autograd graph), scalarized as the reference's
+    batch-mean + per-pixel sum (``uncertainty_guidance.py:106-107``,
+    ``scheduling_ddim_uncertainty_grad.py:536-537``)."""
+
+    def at(e):
+        ab_t = schedule.alpha_bar(state.timestep)
+        x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * e) / jnp.sqrt(ab_t)
+        st = state._replace(pred_epsilon=e, pred_x0=x0)
+        scores = _renoised_scores(model_fn, schedule, st, key, M, chunk)
+        uu = jnp.var(scores.astype(jnp.float32), axis=0, ddof=1)
+        return jnp.sum(jnp.mean(uu, axis=0)), uu
+
+    return at
+
+
 def _posterior_score(scores_with_eps: jnp.ndarray, eps: jnp.ndarray, ab_t, M: int):
     """BayesDiff-style precision-weighted posterior score.
 
@@ -143,14 +162,7 @@ def make_percentile_guidance(
             mask = quantile_mask(u, percentile)
             new_eps = eps * (1.0 - mask) + mask * post_score
         else:
-            def scalar_u(e):
-                st = state._replace(pred_epsilon=e)
-                x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * e) / jnp.sqrt(ab_t)
-                st = st._replace(pred_x0=x0)
-                scores = _renoised_scores(model_fn, schedule, st, key, M, ensemble_chunk)
-                uu = jnp.var(scores.astype(jnp.float32), axis=0, ddof=1)
-                return jnp.sum(jnp.mean(uu, axis=0)), uu
-
+            scalar_u = _variance_scalar(model_fn, schedule, state, key, M, ensemble_chunk)
             grad, u = jax.grad(scalar_u, has_aux=True)(eps)
             mask = quantile_mask(u, percentile)
             new_eps = eps + lr * grad * mask
@@ -297,15 +309,7 @@ def make_model_gradient_guidance(
     updated eps."""
 
     def apply(model_fn, schedule, state: StepState, key, aux):
-        ab_t = schedule.alpha_bar(state.timestep)
-
-        def scalar_u(e):
-            x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * e) / jnp.sqrt(ab_t)
-            st = state._replace(pred_epsilon=e, pred_x0=x0)
-            scores = _renoised_scores(model_fn, schedule, st, key, M, ensemble_chunk)
-            uu = jnp.var(scores.astype(jnp.float32), axis=0, ddof=1)
-            return jnp.sum(jnp.mean(uu, axis=0)), uu
-
+        scalar_u = _variance_scalar(model_fn, schedule, state, key, M, ensemble_chunk)
         grad, u = jax.grad(scalar_u, has_aux=True)(state.pred_epsilon.astype(jnp.float32))
         new_eps = state.pred_epsilon.astype(jnp.float32) + lr * grad
         return _recompute_prev(schedule, state, new_eps, dcfg), u, aux
@@ -333,14 +337,7 @@ def make_uncertainty_grad_guidance(
     def apply(model_fn, schedule, state: StepState, key, aux):
         ab_t = schedule.alpha_bar(state.timestep)
         eps = state.pred_epsilon.astype(jnp.float32)
-
-        def scalar_u(e):
-            x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab_t) * e) / jnp.sqrt(ab_t)
-            st = state._replace(pred_epsilon=e, pred_x0=x0)
-            scores = _renoised_scores(model_fn, schedule, st, key, M, ensemble_chunk)
-            uu = jnp.var(scores.astype(jnp.float32), axis=0, ddof=1)
-            return jnp.sum(jnp.mean(uu, axis=0)), uu
-
+        scalar_u = _variance_scalar(model_fn, schedule, state, key, M, ensemble_chunk)
         grad, u = jax.grad(scalar_u, has_aux=True)(eps)
         new_eps = eps + grad * ab_t
         prev = _recompute_prev(

@@ -224,6 +224,21 @@ def test_flip_threshold_guidance(sched):
     assert bool(jnp.all(jnp.isfinite(res.sample)))
 
 
+def test_zigzag_collapse_equals_single_refinement(sched):
+    """zigzag_collapse=True is the num_zigzag=1 computation exactly (the
+    predict_next=True refinements are iid and only the last survives)."""
+    state = make_state(jax.random.key(30))
+    model_fn = lambda x, t, k: 0.3 * x
+    key = jax.random.key(31)
+    fast = make_estimator(
+        EstimatorConfig(name="uncertainty_zigzag_centered", M=3, num_zigzag=4, zigzag_collapse=True)
+    )(model_fn, sched, state, key)
+    one = make_estimator(
+        EstimatorConfig(name="uncertainty_zigzag_centered", M=3, num_zigzag=1)
+    )(model_fn, sched, state, key)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(one), rtol=1e-6)
+
+
 def test_zigzag_chunked_matches_vmap(sched):
     state = make_state(jax.random.key(30))
     model_fn = lambda x, t, k: 0.2 * x

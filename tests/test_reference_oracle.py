@@ -86,7 +86,7 @@ def test_estimator_window_matches_reference_scheduler_fork(name, kwargs):
 @pytest.mark.parametrize(
     "order,spacing,karras",
     [(1, "linspace", False), (2, "linspace", False), (3, "linspace", False),
-     (2, "leading", False), (2, "linspace", True)],
+     (2, "leading", False), (2, "trailing", False), (2, "linspace", True)],
 )
 def test_dpm_whole_loop_matches_reference_fork(order, spacing, karras):
     """Whole-loop DPM-Solver++ trajectory oracle vs the reference's
