@@ -295,6 +295,13 @@ def make_flip_grad_estimator(model, params, y=None):
     ``perturb`` taps (the model must be built with ``grad_taps=True``) and the
     whole backward pass is one ``jax.grad`` over the perturbations collection.
 
+    No runtime oracle exists for this variant: the fork's map-aggregation
+    block is BROKEN code — it reads ``x.shape[2]`` of every *parameter*
+    gradient (``:526-529``), which raises IndexError on any model with a
+    Linear layer (verified against the reference's own ADM UNet: param-grad
+    ndims span 1-4). This implementation realizes the hook-based
+    activation-saliency intent the surrounding code describes.
+
     Returns an estimator with the standard signature (the passed ``model_fn``
     is ignored — this estimator needs the raw module + params). Output has a
     single channel (the reference's layer-amax map).
