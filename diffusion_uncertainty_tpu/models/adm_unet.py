@@ -344,9 +344,14 @@ class ADMUNet(nn.Module):
                     name=f"in_{block_idx}_res",
                 )(h, emb, deterministic)
                 ch = mult * mc
+                # noise/grad taps sit at the RESBLOCK output, before attention:
+                # the reference hooks 'input_blocks.N.0' (the ResBlock child,
+                # scheduling_ddim_uncertainty.py:520-529) and flip_grad's
+                # backward hooks target ResBlock modules (:289-291); the
+                # perturbed value then flows through attention and the skip
+                h = self._maybe_noise(h, f"in_{block_idx}")
                 if ds in cfg.attention_resolutions:
                     h = AttentionBlock(**heads_for(ch, False), dtype=cfg.dtype, name=f"in_{block_idx}_attn")(h)
-                h = self._maybe_noise(h, f"in_{block_idx}")
                 hs.append(h)
                 block_idx += 1
             if level != len(cfg.channel_mult) - 1:
@@ -374,9 +379,9 @@ class ADMUNet(nn.Module):
                     name=f"out_{block_idx}_res",
                 )(h, emb, deterministic, skip)
                 ch = mult * mc
+                h = self._maybe_noise(h, f"out_{block_idx}")  # ResBlock output (see encoder note)
                 if ds in cfg.attention_resolutions:
                     h = AttentionBlock(**heads_for(ch, True), dtype=cfg.dtype, name=f"out_{block_idx}_attn")(h)
-                h = self._maybe_noise(h, f"out_{block_idx}")
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         h = res_block(

@@ -33,6 +33,7 @@ __all__ = [
     "adm_block_diffs",
     "uvit_block_diffs",
     "vae_diffs",
+    "activation_noise_u_diff",
     "ddim_loop_diff",
     "dpm_loop_diff",
     "estimator_window_diff",
@@ -621,6 +622,123 @@ def estimator_window_diff(
 def zigzag_window_diff(**kwargs) -> Dict[str, float]:
     """Flagship-estimator alias of :func:`estimator_window_diff`."""
     return estimator_window_diff("uncertainty_zigzag_centered", **kwargs)
+
+
+def activation_noise_u_diff(
+    M: int = 96,
+    batch: int = 2,
+    t: int = 500,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> float:
+    """Tap-placement oracle for the activation-noise ('uncertainty' /
+    'uncertainty_original') estimator.
+
+    The reference registers ``N(0, 0.01²)`` forward hooks on exactly four
+    named ResBlocks — ``input_blocks.8.0`` and ``output_blocks.{1,4,12}.0``
+    — only inside the uncertainty block (``scheduling_ddim_uncertainty.py:
+    34-38,520-529``), runs M forwards on the RAW sample, and reduces
+    mean-square centered on pred_epsilon. This builds the reference torch
+    UNet at a small config with the ImageNet-128 block layout (5 levels ×
+    2 res blocks, so all four hook sites exist as REGULAR res blocks),
+    converts the weights, and compares the mean uncertainty statistically
+    against our ``activation_noise`` estimator with its ``act_noise`` rng
+    taps. Catches tap-site and tap-ordering (pre- vs post-attention) drift.
+    Returns the relative difference of the mean u map.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.sampler import StepState
+    from ..diffusion.schedule import make_schedule
+    from ..models import ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_unet
+    from ..uncertainty.estimators import EstimatorConfig, make_estimator
+
+    # attention at ds=4 puts an AttentionBlock AFTER the in_8 hook site, so
+    # the oracle discriminates tap ORDERING (the fork hooks the ResBlock
+    # child '.0' — PRE-attention), not just the four site indices
+    cfg = ADMUNetConfig(
+        image_size=32, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=2, attention_resolutions=(4,), dropout=0.0,
+        channel_mult=(1, 1, 2, 3, 4), num_classes=None, num_heads=1,
+        num_head_channels=-1, num_heads_upsample=-1,
+        use_scale_shift_norm=True, resblock_updown=True,
+        use_new_attention_order=False,
+    )
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+    torch.manual_seed(seed)
+    ref = unet_openai.UNetModel(
+        image_size=cfg.image_size, in_channels=cfg.in_channels,
+        model_channels=cfg.model_channels, out_channels=cfg.out_channels,
+        num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions, dropout=0.0,
+        channel_mult=cfg.channel_mult, num_classes=None, use_checkpoint=False,
+        use_fp16=False, num_heads=cfg.num_heads,
+        num_head_channels=cfg.num_head_channels,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+    )
+    ref.eval()
+    # guided_diffusion zero-initializes the final output conv (zero_module),
+    # so a random-init model emits exactly 0 and every u map degenerates to
+    # a constant — re-randomize it so noise actually propagates to the output
+    with torch.no_grad():
+        ref.out[2].weight.normal_(0.0, 0.05)
+        ref.out[2].bias.normal_(0.0, 0.05)
+
+    rs = np.random.RandomState(seed)
+    x = rs.randn(batch, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tt = torch.full((batch,), t, dtype=torch.long)
+
+    def add_gaussian_noise(module, input, output):  # the fork's hook, :36-39
+        return output + torch.randn_like(output) * 0.01
+
+    hook_names = {
+        "input_blocks.8.0", "output_blocks.1.0",
+        "output_blocks.4.0", "output_blocks.12.0",
+    }
+    with torch.no_grad():
+        eps_ref = ref(x_t, tt)
+        removals = []
+        hit = 0
+        for name, module in ref.named_modules():
+            if name in hook_names:
+                removals.append(module.register_forward_hook(add_gaussian_noise))
+                hit += 1
+        assert hit == 4, f"only {hit} hook sites found"
+        scores = [ref(x_t, tt) for _ in range(M)]
+        for r in removals:
+            r.remove()
+    u_ref = np.mean(
+        [(s - eps_ref).numpy() ** 2 for s in scores], axis=0
+    )
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = convert_adm_unet(sd, cfg)
+    model = ADMUNet(cfg)
+
+    def model_fn(xx, ttt, key):
+        rngs = {"act_noise": key} if key is not None else {}
+        return model.apply(params, xx, jnp.full((xx.shape[0],), ttt, jnp.int32)[0], None, rngs=rngs)
+
+    eps = model_fn(jnp.asarray(x), t, None)
+    state = StepState(
+        sample=jnp.asarray(x), pred_x0=jnp.zeros_like(eps), pred_epsilon=eps,
+        prev_sample=jnp.asarray(x), timestep=jnp.asarray(t), prev_timestep=jnp.asarray(t - 1),
+    )
+    est = make_estimator(EstimatorConfig(name="uncertainty", M=M))
+    u = np.asarray(
+        est(model_fn, make_schedule("linear", 1000), state, jax.random.key(seed + 1))
+    )
+    mr, mo = float(_to_nhwc(torch.from_numpy(u_ref)).mean()), float(u.mean())
+    return abs(mr - mo) / max(abs(mr), 1e-12)
 
 
 def dpm_loop_diff(
