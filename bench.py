@@ -291,10 +291,45 @@ def _run_child(name: str, timeout: float) -> dict | None:
     return None
 
 
+def _device_available(timeout: float = 180.0) -> bool:
+    """Cheap child probe: True when jax.devices() answers within timeout.
+    The axon tunnel can be down for hours; without this gate each config
+    child burns its full 80-min timeout before the error JSON appears."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         run_single(sys.argv[2])
         return
+    import time as _time
+
+    deadline = _time.time() + 1800.0  # retry the probe for up to 30 min
+    while not _device_available():
+        if _time.time() > deadline:
+            print(
+                json.dumps(
+                    {
+                        "metric": "imagenet128_50step_M5_zigzag_uncertainty_sampling",
+                        "value": 0.0,
+                        "unit": "images/sec/chip",
+                        "vs_baseline": 0.0,
+                        "error": "TPU device unreachable (tunnel down?) after 30 min of probing",
+                    }
+                )
+            )
+            return
+        log("device probe failed; retrying in 60s")
+        _time.sleep(60.0)
     result = None
     for name in ("b48", "b32", "b16", "b8", "half"):
         result = _run_child(name, timeout=4800)
