@@ -37,6 +37,7 @@ __all__ = [
     "ddim_loop_diff",
     "dpm_loop_diff",
     "estimator_window_diff",
+    "guided_generation_loop_diff",
     "zigzag_window_diff",
     "reference_available",
 ]
@@ -739,6 +740,167 @@ def activation_noise_u_diff(
     )
     mr, mo = float(_to_nhwc(torch.from_numpy(u_ref)).mean()), float(u.mean())
     return abs(mr - mo) / max(abs(mr), 1e-12)
+
+
+def guided_generation_loop_diff(
+    steps: int = 8,
+    after_step: int = 3,
+    num_steps_uc: int = 3,
+    M: int = 48,
+    num_zigzag: int = 2,
+    classifier_scale: float = 2.0,
+    batch: int = 2,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """The paper's flagship protocol as ONE oracle: classifier-guided
+    class-conditional generation with the zigzag uncertainty window, through
+    REAL converted models on both sides.
+
+    Replicates the reference's hand-rolled loop (``generate_samples.py:
+    255-319``): per step ``eps = unet(x,t,y)[:, :3] − √(1−ᾱ_t)·scale·∇_x
+    log p(y|x_t)`` fed into the zigzag fork's ``step`` — whose ensemble
+    forwards run the PLAIN unet (``predict_model``), not the guided one —
+    against ``with_classifier_guidance`` + ``sample_ddim`` +
+    ``uncertainty_zigzag_centered`` with ``estimator_model_fn`` carrying the
+    plain unet. Trajectory must match exactly (eta=0); per-window-step mean
+    uncertainty statistically. Pins jointly: the classifier eps-shift, the
+    guided-vs-plain model split, and the zigzag window through a real model.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..classifier_guidance import with_classifier_guidance
+    from ..diffusion.sampler import SamplerConfig, sample_ddim
+    from ..diffusion.schedule import make_schedule
+    from ..models import ADMClassifier, ADMClassifierConfig, ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_classifier, convert_adm_unet
+    from ..uncertainty.estimators import EstimatorConfig, make_estimator
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    zz = import_reference(
+        "schedulers_uncertainty.scheduling_ddim_uncertainty_zigzag_centered", root
+    )
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+
+    ucfg = ADMUNetConfig.tiny(num_classes=10)
+    ccfg = ADMClassifierConfig(
+        image_size=16, model_channels=32, out_channels=10, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=16,
+    )
+    torch.manual_seed(seed)
+    ref_unet = unet_openai.UNetModel(
+        image_size=ucfg.image_size, in_channels=3, model_channels=ucfg.model_channels,
+        out_channels=ucfg.out_channels, num_res_blocks=ucfg.num_res_blocks,
+        attention_resolutions=ucfg.attention_resolutions, dropout=0.0,
+        channel_mult=ucfg.channel_mult, num_classes=ucfg.num_classes,
+        use_checkpoint=False, use_fp16=False, num_heads=ucfg.num_heads,
+        num_head_channels=ucfg.num_head_channels, num_heads_upsample=ucfg.num_heads_upsample,
+        use_scale_shift_norm=ucfg.use_scale_shift_norm, resblock_updown=ucfg.resblock_updown,
+        use_new_attention_order=ucfg.use_new_attention_order,
+    )
+    ref_clf = unet_openai.EncoderUNetModel(
+        image_size=ccfg.image_size, in_channels=3, model_channels=ccfg.model_channels,
+        out_channels=ccfg.out_channels, num_res_blocks=ccfg.num_res_blocks,
+        attention_resolutions=ccfg.attention_resolutions, dropout=0.0,
+        channel_mult=ccfg.channel_mult, use_checkpoint=False, use_fp16=False,
+        num_head_channels=ccfg.num_head_channels,
+        use_scale_shift_norm=ccfg.use_scale_shift_norm,
+        resblock_updown=ccfg.resblock_updown, pool=ccfg.pool,
+    )
+    ref_unet.eval()
+    ref_clf.eval()
+    with torch.no_grad():
+        # guided_diffusion zero-inits the UNet's output conv — re-randomize so
+        # the epsilon (and the guidance interplay) is non-trivial
+        ref_unet.out[2].weight.normal_(0.0, 0.05)
+        ref_unet.out[2].bias.normal_(0.0, 0.05)
+
+    rs = np.random.RandomState(seed)
+    x_np = rs.randn(batch, ucfg.image_size, ucfg.image_size, 3).astype(np.float32)
+    y_np = rs.randint(0, 10, (batch,))
+    y_t = torch.from_numpy(y_np)
+
+    class _PlainUNet:
+        """zigzag predict_model convention; the ensemble runs the PLAIN unet."""
+
+        def __call__(self, x, t, encoder_hidden_states=None,
+                     cross_attention_kwargs=None, return_dict=False, y=None):
+            tt = torch.full((x.shape[0],), int(t), dtype=torch.long)
+            return (ref_unet(x, tt, y=y_t)[:, :3],)
+
+    sched_ref = zz.DDIMSchedulerUncertainty(
+        M=M, after_step=after_step, num_steps_uc=num_steps_uc,
+        unet=_PlainUNet(), num_zigzag=num_zigzag,
+    )
+    sched_ref.set_timesteps(steps)
+    ab_torch = sched_ref.alphas_cumprod
+
+    def cond_fn(x, tt):  # generate_samples.py:255-271
+        with torch.enable_grad():
+            x_in = x.detach().requires_grad_(True)
+            logits = ref_clf(x_in, tt)
+            log_probs = logits.log_softmax(dim=-1)
+            selected = log_probs[range(len(logits)), y_t.view(-1)]
+            gradient = torch.autograd.grad(selected.sum(), x_in)[0]
+        return gradient.detach() * classifier_scale
+
+    x_ref = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+    ref_traj: List[np.ndarray] = []
+    ref_unc: List[np.ndarray] = []
+    for t in sched_ref.timesteps:
+        t = int(t)
+        tt = torch.full((batch,), t, dtype=torch.long)
+        with torch.no_grad():
+            eps = ref_unet(x_ref, tt, y=y_t)[:, :3]
+        grad = cond_fn(x_ref, tt)
+        with torch.no_grad():
+            eps = eps - (1 - ab_torch[t]).sqrt() * grad
+            out = sched_ref.step(eps, t, x_ref, eta=0.0)
+            if getattr(out, "uncertainty", None) is not None:
+                ref_unc.append(_to_nhwc(out.uncertainty))
+            x_ref = out.prev_sample
+            ref_traj.append(_to_nhwc(x_ref))
+
+    params = {
+        "model": convert_adm_unet({k: v.numpy() for k, v in ref_unet.state_dict().items()}, ucfg),
+        "classifier": convert_adm_classifier({k: v.numpy() for k, v in ref_clf.state_dict().items()}, ccfg),
+    }
+    unet = ADMUNet(ucfg)
+    clf = ADMClassifier(ccfg)
+    schedule = make_schedule("linear", 1000)
+    y_j = jnp.asarray(y_np)
+
+    def plain(p, x, t, y, key):
+        return unet.apply(p["model"], x, t, y)[..., :3]
+
+    guided = with_classifier_guidance(
+        plain, lambda p, x, t: clf.apply(p["classifier"], x, t), schedule, classifier_scale
+    )
+    model_fn = lambda x, t, k: guided(params, x, t, y_j, k)
+    est_fn = lambda x, t, k: plain(params, x, t, y_j, k)
+    cfg = SamplerConfig(
+        num_inference_steps=steps, after_step=after_step, num_steps_uc=num_steps_uc
+    )
+    est = make_estimator(
+        EstimatorConfig(name="uncertainty_zigzag_centered", M=M, num_zigzag=num_zigzag)
+    )
+    res = sample_ddim(
+        model_fn, schedule, jnp.asarray(x_np), jax.random.key(seed), cfg,
+        estimator=est, estimator_model_fn=est_fn, collect_intermediates=True,
+    )
+
+    diffs: Dict[str, float] = {}
+    traj = np.asarray(res.intermediates, np.float32)
+    diffs["traj"] = max(_max_diff(r, traj[i]) for i, r in enumerate(ref_traj))
+    unc = np.asarray(res.uncertainty, np.float32)
+    assert unc.shape[0] == len(ref_unc), (unc.shape, len(ref_unc))
+    for i, (r, o) in enumerate(zip(ref_unc, unc)):
+        mr, mo = float(r.mean()), float(o.mean())
+        diffs[f"u_rel[{i}]"] = abs(mr - mo) / max(abs(mr), 1e-12)
+    return diffs
 
 
 def dpm_loop_diff(

@@ -18,6 +18,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     estimator_window_diff,
     dpm_loop_diff,
     activation_noise_u_diff,
+    guided_generation_loop_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -98,6 +99,18 @@ def test_dpm_whole_loop_matches_reference_fork(order, spacing, karras):
     independent of order/spacing)."""
     d = dpm_loop_diff(solver_order=order, timestep_spacing=spacing, use_karras_sigmas=karras)
     assert d < 5e-4, (order, spacing, karras, d)
+
+
+@needs_ref
+def test_classifier_guided_zigzag_generation_matches_reference():
+    """The paper's flagship protocol end-to-end: classifier-guided
+    class-conditional DDIM with the zigzag uncertainty window, REAL converted
+    tiny models on both sides (generate_samples.py:255-319 + the zigzag
+    fork). Trajectory exact to f32 roundoff; window u maps statistical."""
+    diffs = guided_generation_loop_diff()
+    assert diffs["traj"] < 1e-3, diffs
+    u_rels = {k: v for k, v in diffs.items() if k.startswith("u_rel")}
+    assert len(u_rels) == 3 and max(u_rels.values()) < 0.05, diffs
 
 
 @needs_ref
