@@ -34,6 +34,7 @@ __all__ = [
     "uvit_block_diffs",
     "vae_diffs",
     "activation_noise_u_diff",
+    "bpd_loop_diff",
     "ddim_loop_diff",
     "dpm_loop_diff",
     "estimator_window_diff",
@@ -740,6 +741,109 @@ def activation_noise_u_diff(
     )
     mr, mo = float(_to_nhwc(torch.from_numpy(u_ref)).mean()), float(u.mean())
     return abs(mr - mo) / max(abs(mr), 1e-12)
+
+
+def bpd_loop_diff(
+    T: int = 50,
+    batch: int = 2,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """NLL/BPD oracle: our ``metrics.nll.calc_bpd_loop`` vs the reference's
+    vendored ``GaussianDiffusion.calc_bpd_loop`` (``guided_diffusion/
+    gaussian_diffusion.py:770-825``), learned_range variance, through the
+    SAME converted tiny 6-channel ADM model with the per-step q-sample noise
+    pinned to one fixed tensor on both sides (monkeypatched RNGs), so every
+    vb term is deterministic and must match to f32 roundoff.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.schedule import make_betas, make_schedule
+    from ..metrics.nll import calc_bpd_loop
+    from ..models import ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_unet
+
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+    gd = import_reference("guided_diffusion.gaussian_diffusion", root)
+
+    cfg = _dc.replace(ADMUNetConfig.tiny(num_classes=None), out_channels=6)
+    torch.manual_seed(seed)
+    ref = unet_openai.UNetModel(
+        image_size=cfg.image_size, in_channels=3, model_channels=cfg.model_channels,
+        out_channels=6, num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions, dropout=0.0,
+        channel_mult=cfg.channel_mult, num_classes=None, use_checkpoint=False,
+        use_fp16=False, num_heads=cfg.num_heads, num_head_channels=cfg.num_head_channels,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+    )
+    ref.eval()
+    with torch.no_grad():  # zero-init output conv (see activation_noise_u_diff)
+        ref.out[2].weight.normal_(0.0, 0.05)
+        ref.out[2].bias.normal_(0.0, 0.05)
+
+    betas = np.asarray(make_betas("linear", T), np.float64)
+    diffusion = gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+    )
+
+    rs = np.random.RandomState(seed)
+    x0 = np.tanh(rs.randn(batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    fixed = rs.randn(batch, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    fixed_t = torch.from_numpy(fixed.transpose(0, 3, 1, 2))
+
+    orig_randn_like = gd.th.randn_like
+    gd.th.randn_like = lambda x: fixed_t
+    try:
+        with torch.no_grad():
+            ref_out = diffusion.calc_bpd_loop(
+                ref, torch.from_numpy(x0.transpose(0, 3, 1, 2)), clip_denoised=True,
+                model_kwargs={"y": None},  # p_mean_variance indexes ['y'] unconditionally
+            )
+    finally:
+        gd.th.randn_like = orig_randn_like
+
+    params = convert_adm_unet({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    model = ADMUNet(cfg)
+    model_fn6 = lambda x, t, k: model.apply(params, x, t, None)
+    schedule = make_schedule(trained_betas=betas, set_alpha_to_one=True)
+
+    fixed_j = jnp.asarray(fixed)
+    orig_normal = jax.random.normal
+
+    def stub(key, shape, dtype=jnp.float32):
+        if tuple(shape) == fixed.shape:
+            return fixed_j.astype(dtype)
+        return orig_normal(key, shape, dtype)
+
+    jax.random.normal = stub
+    try:
+        res = calc_bpd_loop(model_fn6, schedule, jnp.asarray(x0), jax.random.key(seed))
+    finally:
+        jax.random.normal = orig_normal
+
+    diffs = {
+        "total_bpd": _max_diff(
+            ref_out["total_bpd"].numpy(), np.asarray(res.total_bpd, np.float32)
+        ),
+        "prior_bpd": _max_diff(
+            ref_out["prior_bpd"].numpy(), np.asarray(res.prior_bpd, np.float32)
+        ),
+        # reference stacks vb as [N, T] in the same t=T-1..0 order as our scan
+        "vb": _max_diff(
+            ref_out["vb"].numpy().T, np.asarray(res.vb_terms, np.float32)
+        ),
+    }
+    return diffs
 
 
 def guided_generation_loop_diff(

@@ -19,6 +19,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     dpm_loop_diff,
     activation_noise_u_diff,
     guided_generation_loop_diff,
+    bpd_loop_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -99,6 +100,16 @@ def test_dpm_whole_loop_matches_reference_fork(order, spacing, karras):
     independent of order/spacing)."""
     d = dpm_loop_diff(solver_order=order, timestep_spacing=spacing, use_karras_sigmas=karras)
     assert d < 5e-4, (order, spacing, karras, d)
+
+
+@needs_ref
+def test_bpd_loop_matches_reference_iddpm():
+    """NLL/BPD oracle: every vb term, the prior term, and the total bpd of
+    metrics.nll.calc_bpd_loop vs the vendored GaussianDiffusion.calc_bpd_loop
+    (learned_range, clip_denoised) through the converted 6-channel tiny ADM
+    with matched per-step noise — deterministic, f32 roundoff only."""
+    diffs = bpd_loop_diff()
+    assert max(diffs.values()) < 5e-3, diffs
 
 
 @needs_ref
