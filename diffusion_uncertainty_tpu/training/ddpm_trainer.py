@@ -17,8 +17,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+import numpy as np
+
 from ..diffusion.schedule import NoiseSchedule
-from ..metrics.nll import normal_kl
+from ..metrics.nll import discretized_gaussian_log_likelihood, normal_kl
 
 __all__ = ["DDPMTrainConfig", "p_losses", "make_train_step"]
 
@@ -29,7 +31,9 @@ class DDPMTrainConfig:
     min_snr_gamma: Optional[float] = None  # e.g. 5.0 enables min-SNR weighting
     offset_noise_strength: float = 0.0
     learned_variance: bool = False  # hybrid VLB loss on the extra channels
-    vlb_weight: float = 1e-3
+    # iddpm LossType.MSE adds the vb term at weight 1 (RESCALED_MSE uses
+    # T/1000 — pass that here for the rescaled variant)
+    vlb_weight: float = 1.0
     lr: float = 1e-4
 
 
@@ -88,24 +92,46 @@ def p_losses(
     loss = jnp.mean(mse * weight)
 
     if cfg.learned_variance:
-        # iddpm hybrid loss: KL(q posterior ‖ p) with the mean branch frozen
-        eps = jax.lax.stop_gradient(out) if cfg.objective == "pred_noise" else None
-        if eps is None:
+        # iddpm hybrid loss (vendored guided_diffusion/gaussian_diffusion.py:
+        # 710-745): the FULL _vb_terms_bpd with the mean branch frozen —
+        # stop_gradient freezes the mean's gradient, but the mean VALUES still
+        # differ from the q-posterior mean, so the KL's (Δmean)²/σ² term
+        # contributes to the variance gradient; t=0 takes the discretized
+        # decoder NLL instead of the KL. Oracle-pinned by
+        # utils.activation_diff.training_loss_diff.
+        if cfg.objective != "pred_noise":
             raise ValueError("learned_variance hybrid loss requires pred_noise objective")
-        T = schedule.num_train_timesteps
+        eps_frozen = jax.lax.stop_gradient(out)
         ab_full = schedule.alphas_cumprod
         ab_prev = jnp.concatenate([jnp.ones((1,), jnp.float32), ab_full[:-1]])
         betas = schedule.betas
         post_var = betas * (1.0 - ab_prev) / (1.0 - ab_full)
-        post_logvar = jnp.log(jnp.clip(post_var, min=1e-20))
-        min_log = post_logvar[t].reshape(ab.shape)
+        # iddpm's posterior_log_variance_clipped (t=0 entry replaced)
+        post_logvar_clipped = jnp.log(
+            jnp.concatenate([post_var[1:2], post_var[1:]])
+        )
+        x0_coeff = (jnp.sqrt(ab_prev) * betas / (1.0 - ab_full))[t].reshape(ab.shape)
+        xt_coeff = (jnp.sqrt(1.0 - betas) * (1.0 - ab_prev) / (1.0 - ab_full))[t].reshape(ab.shape)
+        min_log = post_logvar_clipped[t].reshape(ab.shape)
         max_log = jnp.log(jnp.clip(betas, min=1e-20))[t].reshape(ab.shape)
         frac = (var_raw + 1.0) / 2.0
         model_logvar = frac * max_log + (1.0 - frac) * min_log
-        # true and model means coincide when the mean branch is stopped; the
-        # KL reduces to the variance-matching term
-        kl = normal_kl(jnp.zeros_like(model_logvar), min_log, jnp.zeros_like(model_logvar), model_logvar)
-        loss = loss + cfg.vlb_weight * jnp.mean(kl)
+        pred_x0 = (x_t - jnp.sqrt(1.0 - ab) * eps_frozen) / jnp.sqrt(ab)  # clip_denoised=False
+        model_mean = x0_coeff * pred_x0 + xt_coeff * x_t
+        true_mean = x0_coeff * x_start.astype(jnp.float32) + xt_coeff * x_t
+        ln2 = float(np.log(2.0))
+        axes = tuple(range(1, x_start.ndim))
+        kl_bits = jnp.mean(
+            normal_kl(true_mean, min_log, model_mean, model_logvar), axis=axes
+        ) / ln2
+        decoder_bits = jnp.mean(
+            -discretized_gaussian_log_likelihood(
+                x_start.astype(jnp.float32), model_mean, 0.5 * model_logvar
+            ),
+            axis=axes,
+        ) / ln2
+        vb = jnp.where(t == 0, decoder_bits, kl_bits)
+        loss = loss + cfg.vlb_weight * jnp.mean(vb)
     return loss
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "dpm_loop_diff",
     "estimator_window_diff",
     "guided_generation_loop_diff",
+    "training_loss_diff",
     "zigzag_window_diff",
     "reference_available",
 ]
@@ -844,6 +845,106 @@ def bpd_loop_diff(
         ),
     }
     return diffs
+
+
+def training_loss_diff(
+    T: int = 50,
+    batch: int = 4,
+    seed: int = 0,
+    root: str = REFERENCE_ROOT,
+) -> float:
+    """Hybrid training-loss oracle: ``training.ddpm_trainer.p_losses``
+    (learned_variance, pred_noise, vlb_weight=1) vs the vendored iddpm
+    ``GaussianDiffusion.training_losses`` (MSE + LEARNED_RANGE vb,
+    ``gaussian_diffusion.py:677-745``) through the converted 6-channel tiny
+    ADM with matched noise and timesteps — deterministic; returns |Δloss|.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.schedule import make_betas, make_schedule
+    from ..models import ADMUNet, ADMUNetConfig
+    from ..models.convert import convert_adm_unet
+    from ..training.ddpm_trainer import DDPMTrainConfig, p_losses
+
+    unet_openai = import_reference("guided_diffusion.unet_openai", root)
+    gd = import_reference("guided_diffusion.gaussian_diffusion", root)
+
+    cfg = _dc.replace(ADMUNetConfig.tiny(num_classes=None), out_channels=6)
+    torch.manual_seed(seed)
+    ref = unet_openai.UNetModel(
+        image_size=cfg.image_size, in_channels=3, model_channels=cfg.model_channels,
+        out_channels=6, num_res_blocks=cfg.num_res_blocks,
+        attention_resolutions=cfg.attention_resolutions, dropout=0.0,
+        channel_mult=cfg.channel_mult, num_classes=None, use_checkpoint=False,
+        use_fp16=False, num_heads=cfg.num_heads, num_head_channels=cfg.num_head_channels,
+        num_heads_upsample=cfg.num_heads_upsample,
+        use_scale_shift_norm=cfg.use_scale_shift_norm,
+        resblock_updown=cfg.resblock_updown,
+        use_new_attention_order=cfg.use_new_attention_order,
+    )
+    ref.eval()
+    with torch.no_grad():
+        ref.out[2].weight.normal_(0.0, 0.05)
+        ref.out[2].bias.normal_(0.0, 0.05)
+
+    betas = np.asarray(make_betas("linear", T), np.float64)
+    diffusion = gd.GaussianDiffusion(
+        betas=betas,
+        model_mean_type=gd.ModelMeanType.EPSILON,
+        model_var_type=gd.ModelVarType.LEARNED_RANGE,
+        loss_type=gd.LossType.MSE,
+    )
+
+    rs = np.random.RandomState(seed)
+    x0 = np.tanh(rs.randn(batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    noise = rs.randn(batch, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    # include t=0 so the decoder-NLL branch is exercised
+    t_np = np.array([0] + list(rs.randint(1, T, batch - 1)), np.int64)
+
+    # training_losses' vb branch calls _vb_terms_bpd WITHOUT model_kwargs and
+    # p_mean_variance indexes ['y'] unconditionally — inject {'y': None}
+    orig_vb = diffusion._vb_terms_bpd
+    diffusion._vb_terms_bpd = lambda model, x_start, x_t, t, clip_denoised=True, model_kwargs=None: orig_vb(
+        model=model, x_start=x_start, x_t=x_t, t=t,
+        clip_denoised=clip_denoised, model_kwargs={"y": None},
+    )
+    with torch.no_grad():
+        terms = diffusion.training_losses(
+            lambda x, t, y=None: ref(x, t),
+            torch.from_numpy(x0.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t_np),
+            model_kwargs={"y": None},
+            noise=torch.from_numpy(noise.transpose(0, 3, 1, 2)),
+        )
+    ref_loss = float(terms["loss"].mean())
+
+    params = convert_adm_unet({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    model = ADMUNet(cfg)
+    schedule = make_schedule(trained_betas=betas, set_alpha_to_one=True)
+    tcfg = DDPMTrainConfig(objective="pred_noise", learned_variance=True, vlb_weight=1.0)
+
+    noise_j = jnp.asarray(noise)
+    orig_normal = jax.random.normal
+
+    def stub(key, shape, dtype=jnp.float32):
+        if tuple(shape) == noise.shape:
+            return noise_j.astype(dtype)
+        return orig_normal(key, shape, dtype)
+
+    jax.random.normal = stub
+    try:
+        loss = p_losses(
+            lambda p, x_t, t, y: model.apply(p, x_t, t, y),
+            params, schedule, jnp.asarray(x0), jnp.asarray(t_np, jnp.int32),
+            jax.random.key(seed), tcfg,
+        )
+    finally:
+        jax.random.normal = orig_normal
+    return abs(float(loss) - ref_loss)
 
 
 def guided_generation_loop_diff(

@@ -20,6 +20,7 @@ from diffusion_uncertainty_tpu.utils.activation_diff import (
     activation_noise_u_diff,
     guided_generation_loop_diff,
     bpd_loop_diff,
+    training_loss_diff,
 )
 
 needs_ref = pytest.mark.skipif(
@@ -100,6 +101,14 @@ def test_dpm_whole_loop_matches_reference_fork(order, spacing, karras):
     independent of order/spacing)."""
     d = dpm_loop_diff(solver_order=order, timestep_spacing=spacing, use_karras_sigmas=karras)
     assert d < 5e-4, (order, spacing, karras, d)
+
+
+@needs_ref
+def test_training_loss_matches_reference_iddpm():
+    """Hybrid (MSE + learned-range vb) training loss vs the vendored iddpm
+    training_losses with matched noise/timesteps (incl. the t=0 decoder
+    branch) — deterministic, f32 roundoff only."""
+    assert training_loss_diff() < 5e-3
 
 
 @needs_ref
