@@ -1,0 +1,109 @@
+"""Sequence parallelism: ring attention over a "seq" mesh axis.
+
+No reference analogue (SURVEY.md §2.4 — the reference is DP-only); this is
+the TPU-native scaling dimension for the long-token T2I transformers
+(Flux at 1024px packs 4096 image tokens + 512 text tokens; SD3.5-large at
+1024px packs 4096+333). When activations rather than weights are the HBM
+bound, shard the *sequence*: each chip holds ``S/n`` queries, keys and
+values, and attention becomes a ring — K/V shards rotate around the ICI
+with ``ppermute`` while each chip accumulates its queries' online-softmax
+partials (the flash-attention recurrence, here across *chips* instead of
+VMEM tiles; cf. Liu et al., "Ring Attention with Blockwise Transformers").
+
+One ``shard_map`` program: ``lax.scan`` over the ring's ``n`` hops, each hop
+one ``[Sq_local, Sk_local]`` block matmul pair on the MXU plus a ppermute
+that XLA overlaps with the next hop's compute. Numerically exact (not an
+approximation): the running max/denominator recurrence reproduces full
+softmax attention to f32 roundoff — asserted against
+``jax.nn.dot_product_attention`` in tests/test_sp.py.
+
+``ring_attention`` is layout-compatible with ``ops.attention`` ([B, S, H, D])
+so model code can swap it in under a ("data", "seq") mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover — older stacks
+    from jax.experimental.shard_map import shard_map
+
+__all__ = ["make_sp_mesh", "ring_attention"]
+
+
+def make_sp_mesh(seq: int, devices=None) -> Mesh:
+    """1-D ("seq",) mesh over the first ``seq`` devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if seq > len(devices):
+        raise ValueError(f"seq({seq}) > devices({len(devices)})")
+    return Mesh(np.asarray(devices[:seq]), ("seq",))
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    axis: str = "seq",
+    scale: float | None = None,
+) -> jax.Array:
+    """Exact softmax attention with q/k/v sequence-sharded over ``axis``.
+
+    Args:
+      q, k, v: ``[B, S, H, D]`` (the ``ops.attention`` layout); ``S`` must
+        divide by ``mesh.shape[axis]``. Inputs may be unsharded host/device
+        arrays — they are placed seq-sharded here; pass pre-sharded arrays
+        with the same spec to skip the reshard.
+      scale: softmax scale (default ``D**-0.5``).
+
+    Returns ``[B, S, H, D]``, sequence-sharded on ``axis`` (same spec as q).
+    """
+    b, s, h, d = q.shape
+    n = mesh.shape[axis]
+    if s % n:
+        raise ValueError(f"sequence({s}) not divisible by mesh axis({n})")
+    sc = d ** -0.5 if scale is None else scale
+    # receive from the left neighbour so hop j holds shard (rank - j) % n
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(q, k, v):
+        # [B, Sl, H, D] -> [B, H, Sl, D] for the block matmuls
+        qh, kh, vh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        qf = qh.astype(jnp.float32)
+
+        m0 = jnp.full(qh.shape[:3], -jnp.inf, jnp.float32)  # [B, H, Sq]
+        l0 = jnp.zeros(qh.shape[:3], jnp.float32)
+        a0 = jnp.zeros(qh.shape, jnp.float32)
+
+        def hop(carry, _):
+            kb, vb, m, l, acc = carry
+            sblk = jnp.einsum(
+                "bhqd,bhkd->bhqk", qf, kb.astype(jnp.float32)
+            ) * sc
+            m_new = jnp.maximum(m, sblk.max(axis=-1))
+            p = jnp.exp(sblk - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p.sum(axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, vb.astype(jnp.float32)
+            )
+            kb, vb = lax.ppermute((kb, vb), axis, perm)
+            return (kb, vb, m_new, l, acc), None
+
+        (kb, vb, m, l, acc), _ = lax.scan(hop, (kh, vh, m0, l0, a0), None, length=n)
+        out = acc / l[..., None]
+        return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+    spec = P(None, axis, None, None)
+    sh = NamedSharding(mesh, spec)
+    q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
