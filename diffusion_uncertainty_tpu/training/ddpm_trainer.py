@@ -21,6 +21,7 @@ import numpy as np
 
 from ..diffusion.schedule import NoiseSchedule
 from ..metrics.nll import discretized_gaussian_log_likelihood, normal_kl
+from .resample import SamplerState, init_sampler_state, sample_timesteps, update_sampler_state
 
 __all__ = ["DDPMTrainConfig", "p_losses", "make_train_step"]
 
@@ -35,6 +36,12 @@ class DDPMTrainConfig:
     # T/1000 — pass that here for the rescaled variant)
     vlb_weight: float = 1.0
     lr: float = 1e-4
+    # iddpm create_named_schedule_sampler (resample.py:8-20):
+    # "uniform" | "loss-second-moment" (importance-sample t by the loss
+    # history, scale per-example losses by 1/(T·p[t]))
+    schedule_sampler: str = "uniform"
+    sampler_history_per_term: int = 10
+    sampler_uniform_prob: float = 0.001
 
 
 def _loss_weight(schedule: NoiseSchedule, cfg: DDPMTrainConfig) -> jnp.ndarray:
@@ -62,6 +69,7 @@ def p_losses(
     key: jax.Array,
     cfg: DDPMTrainConfig,
     y: Optional[jnp.ndarray] = None,
+    per_example: bool = False,
 ) -> jnp.ndarray:
     k_noise, k_off = jax.random.split(key)
     noise = jax.random.normal(k_noise, x_start.shape, jnp.float32)
@@ -89,7 +97,7 @@ def p_losses(
 
     mse = jnp.mean((out - target) ** 2, axis=tuple(range(1, x_start.ndim)))
     weight = _loss_weight(schedule, cfg)[jnp.clip(t, 0, schedule.num_train_timesteps - 1)]
-    loss = jnp.mean(mse * weight)
+    per_ex = mse * weight
 
     if cfg.learned_variance:
         # iddpm hybrid loss (vendored guided_diffusion/gaussian_diffusion.py:
@@ -131,32 +139,54 @@ def p_losses(
             axis=axes,
         ) / ln2
         vb = jnp.where(t == 0, decoder_bits, kl_bits)
-        loss = loss + cfg.vlb_weight * jnp.mean(vb)
-    return loss
+        per_ex = per_ex + cfg.vlb_weight * vb
+    return per_ex if per_example else jnp.mean(per_ex)
 
 
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # loss-second-moment history (None for the uniform sampler)
+    sampler: Optional[SamplerState] = None
 
 
 def make_train_step(model_apply: Callable, schedule: NoiseSchedule, cfg: DDPMTrainConfig):
     tx = optax.adam(cfg.lr)
+    loss_aware = cfg.schedule_sampler == "loss-second-moment"
+    if not loss_aware and cfg.schedule_sampler != "uniform":
+        raise ValueError(f"unknown schedule sampler: {cfg.schedule_sampler}")
+    n_t = schedule.num_train_timesteps
 
     def init_fn(params) -> TrainState:
-        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        sampler = (
+            init_sampler_state(n_t, cfg.sampler_history_per_term) if loss_aware else None
+        )
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), sampler)
 
     @jax.jit
     def step_fn(state: TrainState, x_start, y, key):
         k_t, k_loss = jax.random.split(key)
-        t = jax.random.randint(k_t, (x_start.shape[0],), 0, schedule.num_train_timesteps)
+        t, iw = sample_timesteps(
+            state.sampler, k_t, x_start.shape[0], n_t, cfg.sampler_uniform_prob
+        )
 
         def loss_fn(p):
-            return p_losses(model_apply, p, schedule, x_start, t, k_loss, cfg, y)
+            per_ex = p_losses(
+                model_apply, p, schedule, x_start, t, k_loss, cfg, y, per_example=True
+            )
+            # reference TrainLoop: loss = (losses * weights).mean(), history
+            # fed the UNWEIGHTED per-example losses (train_util.py:214-218)
+            return jnp.mean(per_ex * iw), jax.lax.stop_gradient(per_ex)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, per_ex), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        return TrainState(optax.apply_updates(state.params, updates), opt_state, state.step + 1), loss
+        sampler = (
+            update_sampler_state(state.sampler, t, per_ex) if loss_aware else None
+        )
+        return (
+            TrainState(optax.apply_updates(state.params, updates), opt_state, state.step + 1, sampler),
+            loss,
+        )
 
     return init_fn, step_fn

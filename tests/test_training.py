@@ -131,3 +131,124 @@ def test_hybrid_learned_variance_loss():
                     jax.random.uniform(jax.random.key(3), (2, 8, 8, 3)),
                     jnp.asarray([5, 50]), jax.random.key(4), cfg)
     assert np.isfinite(float(loss))
+
+
+class _NumpyLossSecondMoment:
+    """Independent replica of iddpm resample.py:124-154 semantics (not a copy:
+    re-derived from the documented protocol) used as the oracle."""
+
+    def __init__(self, num_timesteps, history_per_term=10, uniform_prob=0.001):
+        self.h = history_per_term
+        self.p_u = uniform_prob
+        self.hist = np.zeros((num_timesteps, history_per_term), np.float64)
+        self.counts = np.zeros(num_timesteps, np.int64)
+
+    def weights(self):
+        if not (self.counts == self.h).all():
+            return np.full(len(self.counts), 1.0 / len(self.counts))
+        w = np.sqrt((self.hist**2).mean(-1))
+        w /= w.sum()
+        return w * (1 - self.p_u) + self.p_u / len(w)
+
+    def update(self, ts, losses):
+        for t, l in zip(ts, losses):
+            if self.counts[t] == self.h:
+                self.hist[t, :-1] = self.hist[t, 1:]
+                self.hist[t, -1] = l
+            else:
+                self.hist[t, self.counts[t]] = l
+                self.counts[t] += 1
+
+
+def test_loss_second_moment_sampler_matches_reference_semantics():
+    from diffusion_uncertainty_tpu.training.resample import (
+        init_sampler_state,
+        sampler_weights,
+        update_sampler_state,
+    )
+
+    T, H = 7, 3
+    state = init_sampler_state(T, H)
+    oracle = _NumpyLossSecondMoment(T, H)
+    rng = np.random.RandomState(0)
+    update = jax.jit(update_sampler_state)
+    # several batches incl. duplicate timesteps within a batch
+    for _ in range(12):
+        t = rng.randint(0, T, size=6)
+        losses = rng.rand(6).astype(np.float32)
+        state = update(state, jnp.asarray(t), jnp.asarray(losses))
+        oracle.update(t, losses)
+        np.testing.assert_allclose(
+            np.asarray(sampler_weights(state)), oracle.weights(), rtol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(state.loss_history), oracle.hist, rtol=1e-6)
+    assert (np.asarray(state.loss_counts) == oracle.counts).all()
+
+
+def test_sample_timesteps_importance_weights_unbiased():
+    from diffusion_uncertainty_tpu.training.resample import (
+        init_sampler_state,
+        sample_timesteps,
+        sampler_weights,
+        update_sampler_state,
+    )
+
+    T, H = 5, 2
+    state = init_sampler_state(T, H)
+    # warm up fully with known losses so p is non-uniform
+    for i in range(H):
+        state = update_sampler_state(
+            state, jnp.arange(T), jnp.asarray(np.linspace(0.1, 2.0, T), np.float32)
+        )
+    p = np.asarray(sampler_weights(state))
+    assert p.std() > 0  # warmed-up -> non-uniform
+    assert p.sum() == pytest.approx(1.0, abs=1e-5)
+    t, iw = sample_timesteps(state, jax.random.key(0), 4096, T)
+    # exact unbiasedness identity: iw == 1/(T*p[t])
+    np.testing.assert_allclose(np.asarray(iw), 1.0 / (T * p[np.asarray(t)]), rtol=1e-5)
+    # and empirically E[iw] ~= 1 (sum_t p_t * 1/(T p_t) = 1)
+    assert float(np.mean(np.asarray(iw))) == pytest.approx(1.0, rel=0.1)
+    # uniform sampler: state=None
+    t_u, iw_u = sample_timesteps(None, jax.random.key(1), 128, T)
+    assert (np.asarray(iw_u) == 1.0).all()
+    assert np.asarray(t_u).max() < T
+
+
+def test_train_step_with_loss_second_moment_sampler():
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import (
+        DDPMTrainConfig,
+        make_train_step,
+    )
+
+    sched = make_schedule("linear", 20)
+    model = lambda p, x, t, y: p["w"] * x
+    cfg = DDPMTrainConfig(lr=0.05, schedule_sampler="loss-second-moment",
+                          sampler_history_per_term=2)
+    init_fn, step_fn = make_train_step(model, sched, cfg)
+    state = init_fn({"w": jnp.asarray(0.0)})
+    x0 = jax.random.uniform(jax.random.key(2), (8, 8, 8, 3), minval=-1, maxval=1)
+    losses = []
+    for i in range(25):
+        state, loss = step_fn(state, x0, None, jax.random.key(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # history actually filled
+    assert int(np.asarray(state.sampler.loss_counts).min()) >= 1
+    with pytest.raises(ValueError):
+        make_train_step(model, sched, DDPMTrainConfig(schedule_sampler="nope"))
+
+
+def test_p_losses_per_example_matches_mean():
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import DDPMTrainConfig, p_losses
+
+    sched = make_schedule("linear", 100)
+    model = lambda p, x, t, y: p["w"] * x
+    params = {"w": jnp.asarray(0.5)}
+    x0 = jax.random.uniform(jax.random.key(0), (4, 8, 8, 3), minval=-1, maxval=1)
+    t = jnp.asarray([10, 40, 70, 90])
+    cfg = DDPMTrainConfig()
+    per = p_losses(model, params, sched, x0, t, jax.random.key(1), cfg, per_example=True)
+    assert per.shape == (4,)
+    mean = p_losses(model, params, sched, x0, t, jax.random.key(1), cfg)
+    assert float(jnp.mean(per)) == pytest.approx(float(mean), rel=1e-6)
