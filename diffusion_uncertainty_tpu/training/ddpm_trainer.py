@@ -42,6 +42,11 @@ class DDPMTrainConfig:
     schedule_sampler: str = "uniform"
     sampler_history_per_term: int = 10
     sampler_uniform_prob: float = 0.001
+    # EMA parameter copies, one per rate (iddpm TrainLoop ema_rate — default
+    # "0.9999", comma-list allowed — updated as ema += (1-rate)(p - ema) per
+    # step, iddpm nn.update_ema; samplers consume the EMA weights). Empty
+    # tuple disables.
+    ema_rates: tuple = ()
 
 
 def _loss_weight(schedule: NoiseSchedule, cfg: DDPMTrainConfig) -> jnp.ndarray:
@@ -149,6 +154,8 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
     # loss-second-moment history (None for the uniform sampler)
     sampler: Optional[SamplerState] = None
+    # tuple of EMA param trees, aligned with cfg.ema_rates (empty = disabled)
+    ema_params: tuple = ()
 
 
 def make_train_step(model_apply: Callable, schedule: NoiseSchedule, cfg: DDPMTrainConfig):
@@ -162,7 +169,9 @@ def make_train_step(model_apply: Callable, schedule: NoiseSchedule, cfg: DDPMTra
         sampler = (
             init_sampler_state(n_t, cfg.sampler_history_per_term) if loss_aware else None
         )
-        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), sampler)
+        # iddpm TrainLoop:91-93 — EMA copies start as the initial params
+        ema = tuple(jax.tree.map(jnp.asarray, params) for _ in cfg.ema_rates)
+        return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32), sampler, ema)
 
     @jax.jit
     def step_fn(state: TrainState, x_start, y, key):
@@ -184,8 +193,13 @@ def make_train_step(model_apply: Callable, schedule: NoiseSchedule, cfg: DDPMTra
         sampler = (
             update_sampler_state(state.sampler, t, per_ex) if loss_aware else None
         )
+        new_params = optax.apply_updates(state.params, updates)
+        ema = tuple(
+            jax.tree.map(lambda e, p: e + (1.0 - rate) * (p - e), e_tree, new_params)
+            for rate, e_tree in zip(cfg.ema_rates, state.ema_params)
+        )
         return (
-            TrainState(optax.apply_updates(state.params, updates), opt_state, state.step + 1, sampler),
+            TrainState(new_params, opt_state, state.step + 1, sampler, ema),
             loss,
         )
 

@@ -252,3 +252,33 @@ def test_p_losses_per_example_matches_mean():
     assert per.shape == (4,)
     mean = p_losses(model, params, sched, x0, t, jax.random.key(1), cfg)
     assert float(jnp.mean(per)) == pytest.approx(float(mean), rel=1e-6)
+
+
+def test_ema_params_track_toward_current():
+    from diffusion_uncertainty_tpu.training.ddpm_trainer import (
+        DDPMTrainConfig,
+        make_train_step,
+    )
+
+    sched = make_schedule("linear", 20)
+    model = lambda p, x, t, y: p["w"] * x
+    cfg = DDPMTrainConfig(lr=0.1, ema_rates=(0.9, 0.999))
+    init_fn, step_fn = make_train_step(model, sched, cfg)
+    w0 = jnp.asarray(0.0)
+    state = init_fn({"w": w0})
+    assert len(state.ema_params) == 2
+    x0 = jax.random.uniform(jax.random.key(0), (8, 8, 8, 3), minval=-1, maxval=1)
+    # track the exact EMA recurrence alongside
+    ref = [0.0, 0.0]
+    for i in range(10):
+        state, _ = step_fn(state, x0, None, jax.random.key(i))
+        w = float(state.params["w"])
+        for j, rate in enumerate((0.9, 0.999)):
+            ref[j] = ref[j] + (1 - rate) * (w - ref[j])
+    assert float(state.params["w"]) != 0.0
+    for j in range(2):
+        assert float(state.ema_params[j]["w"]) == pytest.approx(ref[j], rel=1e-5)
+    # faster rate is closer to the live params
+    d_fast = abs(float(state.ema_params[0]["w"]) - float(state.params["w"]))
+    d_slow = abs(float(state.ema_params[1]["w"]) - float(state.params["w"]))
+    assert d_fast < d_slow
