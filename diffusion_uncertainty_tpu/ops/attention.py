@@ -70,12 +70,23 @@ def dot_product_attention(
 def _pad_plan(q_shape, dtype, s_kv: int, supports) -> tuple[int | None, int | None]:
     """(padded_s, padded_s_kv) — the smallest kernel-accepted padding of the
     two sequence lengths, preferring exact/8-aligned (zero or minimal copy)
-    over 128-aligned; (None, None) when nothing reasonable is supported."""
+    over 128-aligned; (None, None) when nothing reasonable is supported.
+
+    Non-lane-aligned head dims (d % 128 != 0) take the kernel ONLY at exact
+    sequence lengths: those heads already pay the [B,S,H,D]→[B·H,S,Dpad]
+    transpose + lane-pad materializations, and stacking sequence padding on
+    top measurably loses to XLA's direct attention — U-ViT-huge (S=258,
+    d=72) ran 2.67 vs 3.14 imgs/sec whole-loop on a v5e before this gate
+    (on-chip A/B, r3). ADM's d=192 levels keep the kernel (their S is
+    already 8/128-aligned, so they never enter the padded branch)."""
     b, s, h, d = q_shape
     ceil8 = lambda n: max((n + 7) // 8 * 8, 8)
     ceil128 = lambda n: max((n + 127) // 128 * 128, 8)
+    lane_aligned = d % 128 == 0
     for sp in dict.fromkeys((ceil8(s), ceil128(s))):
         for spk in dict.fromkeys((ceil8(s_kv), ceil128(s_kv))):
+            if not lane_aligned and (sp != s or spk != s_kv):
+                continue
             if sp <= max(2 * s, 8) and spk <= max(2 * s_kv, 8) and supports((b, sp, h, d), dtype, spk):
                 return sp, spk
     return None, None

@@ -77,12 +77,17 @@ def test_flash_attention_masked_padding_matches_xla():
 
     k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
     s = 132  # not 8-aligned -> pads to 136
-    q = jax.random.normal(k1, (1, s, 2, 64), jnp.float32)
-    k = jax.random.normal(k2, (1, s, 2, 64), jnp.float32)
-    v = jax.random.normal(k3, (1, s, 2, 64), jnp.float32)
+    q = jax.random.normal(k1, (1, s, 2, 128), jnp.float32)
+    k = jax.random.normal(k2, (1, s, 2, 128), jnp.float32)
+    v = jax.random.normal(k3, (1, s, 2, 128), jnp.float32)
     from diffusion_uncertainty_tpu.ops.flash_attention import supports
     sp, sp_kv = _pad_plan(q.shape, q.dtype, s, supports)
     assert (sp, sp_kv) == (136, 136)
+    # non-lane-aligned head dims decline the padded branch (the transpose +
+    # lane-pad + seq-pad stack measurably loses to XLA: U-ViT S=258/d=72 ran
+    # 2.67 vs 3.14 imgs/sec before the gate) but keep exact-length support
+    assert _pad_plan((1, s, 2, 64), q.dtype, s, supports) == (None, None)
+    assert _pad_plan((1, 256, 2, 64), q.dtype, 256, supports) == (256, 256)
     pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
     out = _flash_with_xla_grad(jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), s)[:, :s]
     ref = _xla_attention(q, k, v)
