@@ -60,11 +60,13 @@ def knn_radii(features: jnp.ndarray, k: int = 3, tile: int = 2048) -> jnp.ndarra
 def manifold_membership(
     queries: jnp.ndarray, refs: jnp.ndarray, ref_radii: jnp.ndarray, tile: int = 2048
 ) -> jnp.ndarray:
-    """For each query: is it within any reference sample's k-NN radius?"""
+    """For each query: is it STRICTLY within any reference sample's k-NN
+    radius (the reference's ``dist[:, i] < manifold_ref.radii``,
+    ``precision_recall.py:260``)?"""
     out = []
     for lo in range(0, queries.shape[0], tile):
         d = _pairwise_sq_dists(queries[lo : lo + tile], refs)
-        out.append(jnp.any(d <= ref_radii[None, :], axis=1))
+        out.append(jnp.any(d < ref_radii[None, :], axis=1))
     return jnp.concatenate(out)
 
 

@@ -64,14 +64,24 @@ def build_guidance(cfg: Config):
         with np.load(cfg.threshold_file) as f:
             thr = f["data"]
     dcfg = DiffusionConfig(eta=cfg.eta)
+    # per-global-step threshold tables (threshold_file) are indexed by the
+    # reference with the loop index i (thresholds_*.pth has one entry per
+    # generation step); window steps start at start_step_uc
+    offset = cfg.start_step_uc if cfg.threshold_file else 0
     if cfg.guidance == "posterior":
-        return make_threshold_guidance(M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg)
+        return make_threshold_guidance(
+            M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg,
+            step_index_offset=offset,
+        )
     if cfg.guidance == "gradient":
         return make_percentile_guidance(M=cfg.M, percentile=float(cfg.threshold), use_posterior=False, lr=cfg.lr, dcfg=dcfg)
     if cfg.guidance == "percentile":
         return make_percentile_guidance(M=cfg.M, percentile=float(cfg.threshold), use_posterior=True, dcfg=dcfg)
     if cfg.guidance == "second_order":
-        return make_second_order_guidance(M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg)
+        return make_second_order_guidance(
+            M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg,
+            step_index_offset=offset,
+        )
     if cfg.guidance == "mask":
         return make_mask_guidance(EstimatorConfig(name="infer_noise", M=cfg.M), dcfg=dcfg)
     if cfg.guidance == "mc_dropout_gradient":

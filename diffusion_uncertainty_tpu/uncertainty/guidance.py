@@ -103,6 +103,27 @@ def _renoised_scores(model_fn, schedule, state, key, M, chunk=0):
     return _ensemble_noised_scores(model_fn, schedule, state, key, cfg)
 
 
+def _pipeline_renoised_scores(model_fn, state, ab, M, key, noise=None, chunk=0):
+    """The guided class-conditional pipelines' own ensemble: x̂0 re-derived
+    UNCLIPPED from pred_epsilon, x̂ = √ᾱ·x̂0 + √(1−ᾱ)·n, M forwards
+    (reference ``...posterior_distribution.py:221-231`` /
+    ``...second_order.py:293-296`` — independent of the trajectory scheduler's
+    clip config). ``noise`` ([M, B, ...]) overrides the internal draws for the
+    matched-noise reference oracles (tests/test_reference_oracle.py)."""
+    from .estimators import ensemble_forward
+
+    eps = state.pred_epsilon.astype(jnp.float32)
+    x0 = (state.sample.astype(jnp.float32) - jnp.sqrt(1.0 - ab) * eps) / jnp.sqrt(ab)
+    if noise is None:
+        k_noise, k_model = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (M,) + x0.shape, jnp.float32)
+    else:
+        k_model = key
+    x_hats = jnp.sqrt(ab) * x0[None] + jnp.sqrt(1.0 - ab) * noise
+    keys = jax.random.split(k_model, M)
+    return ensemble_forward(model_fn, x_hats, state.timestep, keys, chunk)
+
+
 def _variance_scalar(model_fn, schedule, state: StepState, key, M: int, chunk: int):
     """Differentiable (scalar, u) closure shared by every gradient guidance:
     Var_m (ddof=1) over M re-noised forwards whose graph flows through
@@ -178,27 +199,58 @@ def make_threshold_guidance(
     threshold_type: str = "higher",
     dcfg: DiffusionConfig = DiffusionConfig(),
     ensemble_chunk: int = 0,
+    step_index_offset: int = 0,
+    compat_step_index_alpha: bool = False,
+    compat_batch_sum: bool = False,
+    ensemble_noise=None,
 ) -> Guidance:
     """Posterior-reweight guidance with a per-image-quantile (float) or
-    per-window-step pixel-wise (array [num_steps_uc, ...]) threshold
+    per-global-step pixel-wise (array [num_inference_steps, ...]) threshold
     (reference ``DiffusionClassConditionalGuidedPosteriorDistribution``,
-    ``...posterior_distribution.py:32-68,150-162``). The per-step array is
-    indexed by the window-step counter carried in aux."""
+    ``...posterior_distribution.py:32-68,146-163``). A per-step array is
+    indexed by the GLOBAL step index ``step_index_offset + window_counter``
+    — the reference asserts ``threshold.shape[0] == timesteps.shape[0]`` and
+    reads ``threshold[i]`` (``:121-122,158``); callers pass
+    ``step_index_offset=after_step``.
+
+    Upstream-compat knobs (for the matched-noise reference oracle; the
+    defaults are the documented fixes in the module note above):
+      * ``compat_step_index_alpha`` — read ᾱ from ``alphas_cumprod[i]`` with
+        the global step INDEX, the reference's latent bug (``:152``).
+      * ``compat_batch_sum`` — posterior score from the LAST ensemble member
+        summed over the batch axis (``:242 pred_epsilon.sum(dim=0)``) instead
+        of the ensemble-sum of the stacked scores.
+      * ``ensemble_noise`` — [num_steps_uc, M, B, ...] injected re-noise draws.
+    """
 
     per_step = not isinstance(threshold, float)
     thr = jnp.asarray(threshold) if per_step else threshold
+    ens_noise = None if ensemble_noise is None else jnp.asarray(ensemble_noise, jnp.float32)
 
     def init(x_T):
         return jnp.zeros((), jnp.int32)  # window-step counter
 
     def apply(model_fn, schedule, state: StepState, key, step_counter):
-        ab_t = schedule.alpha_bar(state.timestep)
+        i_global = step_index_offset + step_counter
+        if compat_step_index_alpha:
+            ab_t = schedule.alphas_cumprod[i_global]
+        else:
+            ab_t = schedule.alpha_bar(state.timestep)
         eps = state.pred_epsilon.astype(jnp.float32)
-        scores = _renoised_scores(model_fn, schedule, state, key, M, ensemble_chunk)
-        stacked = jnp.concatenate([scores.astype(jnp.float32), eps[None]], axis=0)
-        u, post_score = _posterior_score(stacked, eps, ab_t, M)
+        noise_i = None if ens_noise is None else ens_noise[step_counter]
+        scores = _pipeline_renoised_scores(
+            model_fn, state, ab_t, M, key, noise_i, ensemble_chunk
+        ).astype(jnp.float32)
+        stacked = jnp.concatenate([scores, eps[None]], axis=0)
+        if compat_batch_sum:
+            u = jnp.var(stacked, axis=0, ddof=1)
+            inv_var = 1.0 / (u + 1e-20)
+            post_precision = 1.0 / (M * inv_var + 1.0 / ab_t)
+            post_score = post_precision * (inv_var * jnp.sum(scores[M - 1], axis=0))
+        else:
+            u, post_score = _posterior_score(stacked, eps, ab_t, M)
         if per_step:
-            mask = threshold_mask(u, thr[step_counter], threshold_type)
+            mask = threshold_mask(u, thr[i_global], threshold_type)
         else:
             mask = quantile_mask(u, thr, threshold_type)
         new_eps = post_score * mask + eps * (1.0 - mask)
@@ -352,18 +404,36 @@ def make_second_order_guidance(
     M: int = 5,
     threshold: Union[float, jnp.ndarray] = 0.9,
     threshold_type: str = "higher",
-    momentum_beta: float = 0.9,
+    momentum_beta: float = 0.99,
     dcfg: DiffusionConfig = DiffusionConfig(),
     ensemble_chunk: int = 0,
+    step_index_offset: int = 0,
+    compat_step_index_alpha: bool = False,
+    ensemble_noise=None,
+    sign_noise=None,
 ) -> Guidance:
     """Second-order (momentum-carrying) guidance: eps' = eps + u·sign(n)·mask
-    with an EMA momentum buffer carried across window steps (reference
-    ``...guided_second_order.py:195-260`` — the momentum is computed and
-    carried exactly as there; the active update uses the raw pixel-wise
-    uncertainty, matching the uncommented reference line ``:249``)."""
+    (reference ``...guided_second_order.py:146-262``):
+
+    - u is the CENTERED mean-square over M re-noised forwards — the fork's
+      ``(pred_epsilons − noisy_residual)².mean(0)`` (``:297``), NOT an
+      (M+1)-variance
+    - the EMA momentum buffer starts at zeros (``:147``) with β=0.99
+      (``:146``) and is carried across window steps; the active update uses
+      the raw pixel-wise uncertainty (the momentum is computed but unused by
+      the uncommented update line ``:249``)
+    - per-step thresholds are indexed by the GLOBAL step
+      ``step_index_offset + window_counter`` (``:199 threshold[i]``)
+    - ``compat_step_index_alpha`` replicates the ᾱ-by-step-index bug
+      (``:157``) for the matched-noise oracle; ``ensemble_noise``
+      ([num_steps_uc, M, B, ...]) and ``sign_noise`` ([num_steps_uc, B, ...])
+      inject the reference's noise draws there
+    """
 
     per_step = not isinstance(threshold, float)
     thr = jnp.asarray(threshold) if per_step else threshold
+    ens_noise = None if ensemble_noise is None else jnp.asarray(ensemble_noise, jnp.float32)
+    sgn_noise = None if sign_noise is None else jnp.asarray(sign_noise, jnp.float32)
 
     def init(x_T):
         return {
@@ -372,22 +442,32 @@ def make_second_order_guidance(
         }
 
     def apply(model_fn, schedule, state: StepState, key, aux):
+        i_global = step_index_offset + aux["step"]
         k_est, k_sign = jax.random.split(key)
         eps = state.pred_epsilon.astype(jnp.float32)
-        scores = _renoised_scores(model_fn, schedule, state, k_est, M, ensemble_chunk)
-        stacked = jnp.concatenate([scores.astype(jnp.float32), eps[None]], axis=0)
-        u = jnp.var(stacked, axis=0, ddof=1)
+        if compat_step_index_alpha:
+            ab_t = schedule.alphas_cumprod[i_global]
+        else:
+            ab_t = schedule.alpha_bar(state.timestep)
+        noise_i = None if ens_noise is None else ens_noise[aux["step"]]
+        scores = _pipeline_renoised_scores(
+            model_fn, state, ab_t, M, k_est, noise_i, ensemble_chunk
+        ).astype(jnp.float32)
+        u = jnp.mean((scores - eps[None]) ** 2, axis=0)
 
         if per_step:
-            mask = threshold_mask(u, thr[aux["step"]], threshold_type)
+            mask = threshold_mask(u, thr[i_global], threshold_type)
         else:
             mask = quantile_mask(u, thr, threshold_type)
 
-        first = aux["step"] == 0
-        momentum = jnp.where(first, u, momentum_beta * aux["momentum"] + (1.0 - momentum_beta) * u)
+        momentum = momentum_beta * aux["momentum"] + (1.0 - momentum_beta) * u
 
-        sign = jnp.sign(jax.random.normal(k_sign, eps.shape, jnp.float32))
-        new_eps = eps + u * sign * mask
+        n = (
+            jax.random.normal(k_sign, eps.shape, jnp.float32)
+            if sgn_noise is None
+            else sgn_noise[aux["step"]]
+        )
+        new_eps = eps + u * jnp.sign(n) * mask
         next_x = _recompute_prev(schedule, state, new_eps, dcfg)
         return next_x, u, {"momentum": momentum, "step": aux["step"] + 1}
 
@@ -422,7 +502,12 @@ def make_score_model_gradient_guidance(
         new_eps = state.pred_epsilon.astype(jnp.float32) + grad * ab_t
         # uncertainty map broadcast back to the image channels for collection
         u_map = jnp.broadcast_to(u, u.shape[:-1] + (state.pred_epsilon.shape[-1],))
-        return _recompute_prev(schedule, state, new_eps, dcfg), u_map, aux
+        # x̂0 stays the ORIGINAL model output's (clipped) derivation; only the
+        # direction term takes the updated eps (reference ``:555-575``)
+        prev = _recompute_prev(
+            schedule, state, new_eps, dcfg, x0=state.pred_x0.astype(jnp.float32)
+        )
+        return prev, u_map, aux
 
     return Guidance(_no_aux_init, apply)
 

@@ -1257,3 +1257,542 @@ def vae_diffs(
         ("encode_moments", _max_diff(_to_nhwc(moments), np.asarray(j_moments, np.float32))),
         ("decode", _max_diff(_to_nhwc(dec), np.asarray(j_dec, np.float32))),
     ]
+
+
+def _plain_torch_ddim(steps: int, unet, mod=None, root: str = REFERENCE_ROOT):
+    """A reference scheduler usable as a PLAIN DDIM stepper.
+
+    The guided class-conditional pipelines receive a stock diffusers
+    ``DDIMScheduler`` (``scripts/generate_images_with_uncertainty_threshold
+    .py:203``); diffusers isn't installed here, so we use the reference's
+    *flip* fork with its window parked on the final step — flip's u-block is
+    record-only and draws no noise (``scheduling_ddim_flip.py:487-493``), so
+    every ``step()`` is exactly the stock DDIM update."""
+    if mod is None:
+        mod = import_reference("schedulers_uncertainty.scheduling_ddim_flip", root)
+    sched = mod.DDIMSchedulerUncertainty(
+        after_step=steps - 1, num_steps_uc=1, unet=unet
+    )
+    sched.set_timesteps(steps)
+    return sched
+
+
+class _NoiseQueue:
+    """Deterministic ``torch.randn_like`` replacement: pops pre-drawn arrays
+    in call order, falling back to real randn once exhausted.
+
+    Armed per GUIDED UPDATE, not per loop: the flip fork's ``step()`` draws
+    one unconditional (eta=0-unused) ``randn_like`` per call
+    (``scheduling_ddim_flip.py:485``), so a loop-lifetime queue would desync;
+    each guided update gets a queue holding exactly its own draws, and any
+    trailing in-``step`` draw lands on the harmless fallback."""
+
+    def __init__(self, arrays):
+        import torch
+
+        self._q = [torch.from_numpy(a) for a in arrays]
+        self._torch_randn_like = torch.randn_like
+
+    def __call__(self, t, **kwargs):
+        if self._q:
+            out = self._q.pop(0)
+            assert out.shape == t.shape, (out.shape, t.shape)
+            return out
+        return self._torch_randn_like(t, **kwargs)
+
+    @property
+    def exhausted(self):
+        return not self._q
+
+
+def posterior_pipeline_broken(root: str = REFERENCE_ROOT) -> Dict[str, str]:
+    """Verify (not assume) that the reference's posterior guided PIPELINE
+    class is broken code at runtime, two ways:
+
+    1. the driver script constructs it with ``threshold_type=``
+       (``scripts/generate_images_with_uncertainty_threshold.py:215``) which
+       ``DiffusionClassConditionalGuidedPosteriorDistribution.__init__``
+       does not accept (``...posterior_distribution.py:76``);
+    2. ``__call__``'s window block calls the module-level 4-positional-arg
+       ``calculate_threshold_map`` with 3 args (``:158`` vs ``:11``).
+
+    Returns the exception names actually raised. The posterior MATH
+    (``estimate_score_update``, ``:206-243``) is working code and is oracled
+    by :func:`posterior_guided_loop_diff`.
+    """
+    import torch
+
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "pipeline_uncertainty.pipeline_sampler_class_conditional_uncertainty_guided_posterior_distribution",
+        root,
+    )
+    out: Dict[str, str] = {}
+    eps_fn_torch, _ = _oracle_models(8)
+    unet = _make_oracle_unet(eps_fn_torch)
+    sched = _plain_torch_ddim(6, unet, root=root)
+    try:
+        mod.DiffusionClassConditionalGuidedPosteriorDistribution(
+            unet, sched, 0.9, 8, torch.device("cpu"), 2, 0, threshold_type="higher"
+        )
+        out["ctor_threshold_type"] = "no error"
+    except TypeError as e:
+        out["ctor_threshold_type"] = f"TypeError: {e}"
+    # the 3-arg call the window block makes (:158)
+    try:
+        mod.calculate_threshold_map(0.9, 0, torch.zeros(2, 3, 8, 8))
+        out["call_threshold_map_3args"] = "no error"
+    except TypeError as e:
+        out["call_threshold_map_3args"] = f"TypeError: {e}"
+    return out
+
+
+def posterior_guided_loop_diff(
+    M: int = 4,
+    steps: int = 8,
+    start_step: int = 3,
+    num_steps: int = 2,
+    batch: int = 2,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    threshold="midrange",  # "midrange" tensor | float percentile
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """Matched-noise EXACT trajectory oracle for the posterior-distribution
+    guidance.
+
+    The reference pipeline class crashes before sampling (see
+    :func:`posterior_pipeline_broken`), so the torch side drives the class's
+    WORKING methods through the ``__call__`` loop semantics typed here
+    (``...posterior_distribution.py:146-163``): plain DDIM step, then in the
+    inclusive window ``start+num >= i >= start`` recompute x_{t-1} from
+    ``eps' = post_score·mask + eps·(1−mask)`` with ``estimate_score_update``
+    (``:206-243`` — ᾱ read at the loop INDEX ``alphas_cumprod[i]``, ``:152``,
+    and the posterior score built from the LAST ensemble member summed over
+    the batch axis, ``:242``) and the 4-arg ``calculate_threshold_map``
+    (``:11-30``; the intent of the broken 3-arg call at ``:158``).
+
+    The jax side is our real sampler + ``make_threshold_guidance`` with the
+    documented compat knobs replicating the two latent bugs, fed the SAME
+    ensemble noise (``torch.randn_like`` patched to a queue of shared draws).
+    Everything — uncertainty maps, masks, trajectories — must agree to f32
+    roundoff.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.sampler import SamplerConfig, sample_ddim
+    from ..diffusion.schedule import make_schedule
+    from ..uncertainty.guidance import make_threshold_guidance
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "pipeline_uncertainty.pipeline_sampler_class_conditional_uncertainty_guided_posterior_distribution",
+        root,
+    )
+    eps_fn_torch, model_fn = _oracle_models(size)
+    unet = _make_oracle_unet(eps_fn_torch)
+    sched = _plain_torch_ddim(steps, unet, root=root)
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, size, size, channels).astype(np.float32)
+    n_window = num_steps + 1  # inclusive bound (:156)
+    ens = rs.randn(n_window, M, batch, size, size, channels).astype(np.float32)
+
+    if threshold == "midrange":
+        thr_host = np.full((steps,), 5e-3, np.float32)  # ~typical Var scale
+        thr_ref: object = torch.from_numpy(thr_host)
+        thr_jax: object = jnp.asarray(thr_host)
+    else:
+        thr_ref = thr_jax = float(threshold)
+
+    # pipeline instance only to borrow its methods (ctor per script intent)
+    pipe = mod.DiffusionClassConditionalGuidedPosteriorDistribution(
+        unet, sched, thr_ref, size, torch.device("cpu"), batch, 0, M=M
+    )
+
+    x_ref = torch.from_numpy(x_T.transpose(0, 3, 1, 2))
+    ref_traj: List[np.ndarray] = []
+    ref_unc: List[np.ndarray] = []
+    y = torch.zeros(batch, dtype=torch.long)
+    orig_randn_like = torch.randn_like
+    try:
+        with torch.no_grad():
+            for i, t in enumerate(sched.timesteps):
+                t = int(t)
+                t_tensor = torch.full((batch,), t, dtype=torch.long)
+                eps = eps_fn_torch(x_ref, t)
+                out = sched.step(eps, t, x_ref, eta=0.0)
+                prev = out.prev_sample
+                alpha_hat_t = sched.alphas_cumprod[i]  # the :152 index bug
+                if (start_step + num_steps) >= i >= start_step:
+                    w = i - start_step
+                    queue = _NoiseQueue(
+                        [ens[w, m].transpose(0, 3, 1, 2).copy() for m in range(M)]
+                    )
+                    torch.randn_like = queue
+                    try:
+                        u, post = pipe.estimate_score_update(
+                            x_ref, y, i, t_tensor, eps, prev, alpha_hat_t
+                        )
+                    finally:
+                        torch.randn_like = orig_randn_like
+                    assert queue.exhausted
+                    mask = mod.calculate_threshold_map(thr_ref, i, u, "higher")
+                    new_eps = post * mask + eps * (1 - mask)
+                    out = sched.step(new_eps, t, x_ref, eta=0.0)
+                    prev = out.prev_sample
+                    ref_unc.append(_to_nhwc(u))
+                x_ref = prev
+                ref_traj.append(_to_nhwc(x_ref))
+    finally:
+        torch.randn_like = orig_randn_like
+
+    schedule = make_schedule("linear", 1000)
+    cfg = SamplerConfig(
+        num_inference_steps=steps, after_step=start_step, num_steps_uc=n_window
+    )
+    guidance = make_threshold_guidance(
+        M=M,
+        threshold=thr_jax,
+        threshold_type="higher",
+        step_index_offset=start_step,
+        compat_step_index_alpha=True,
+        compat_batch_sum=True,
+        ensemble_noise=ens,
+    )
+    res = sample_ddim(
+        model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
+        guidance=guidance, collect_intermediates=True,
+    )
+
+    diffs: Dict[str, float] = {}
+    traj = np.asarray(res.intermediates, np.float32)
+    assert traj.shape[0] == len(ref_traj)
+    diffs["traj"] = max(_max_diff(r, traj[i]) for i, r in enumerate(ref_traj))
+    unc = np.asarray(res.uncertainty, np.float32)
+    assert unc.shape[0] == len(ref_unc), (unc.shape, len(ref_unc))
+    diffs["u"] = max(_max_diff(r, unc[i]) for i, r in enumerate(ref_unc))
+    return diffs
+
+
+def second_order_guided_loop_diff(
+    M: int = 4,
+    steps: int = 8,
+    start_step: int = 3,
+    num_steps: int = 3,
+    batch: int = 2,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    threshold=0.5,  # float percentile | "midrange" tensor
+    threshold_type: str = "higher",
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """Matched-noise EXACT whole-trajectory oracle for the second-order
+    (momentum) guided pipeline.
+
+    Torch side: the ACTUAL ``DiffusionClassConditionalGuidedSecondOrder
+    .update_with_uncertainty`` + ``estimate_score_update`` methods
+    (``...guided_second_order.py:195-298``) driven through the ``__call__``
+    loop semantics (``:146-162``: plain DDIM step; in the half-open window
+    ``start+num > i >= start`` the update ``eps' = eps + u·sign(n)·mask``
+    with u the centered mean-square over M re-noised forwards at
+    ᾱ[loop-index], zeros-initialised β=0.99 momentum EMA). Jax side: our
+    sampler + ``make_second_order_guidance`` with the compat ᾱ knob and the
+    same injected ensemble + sign noise. eta=0 ⇒ exact comparison of every
+    intermediate sample.
+    """
+    import contextlib
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.sampler import SamplerConfig, sample_ddim
+    from ..diffusion.schedule import make_schedule
+    from ..uncertainty.guidance import make_second_order_guidance
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "pipeline_uncertainty.pipeline_sampler_class_conditional_uncertainty_guided_second_order",
+        root,
+    )
+    eps_fn_torch, model_fn = _oracle_models(size)
+    unet = _make_oracle_unet(eps_fn_torch)
+    sched = _plain_torch_ddim(steps, unet, root=root)
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, size, size, channels).astype(np.float32)
+    ens = rs.randn(num_steps, M, batch, size, size, channels).astype(np.float32)
+    sign = rs.randn(num_steps, batch, size, size, channels).astype(np.float32)
+
+    if threshold == "midrange":
+        thr_host = np.full((steps,), 5e-3, np.float32)
+        thr_ref: object = torch.from_numpy(thr_host)
+        thr_jax: object = jnp.asarray(thr_host)
+    else:
+        thr_ref = thr_jax = float(threshold)
+
+    pipe = mod.DiffusionClassConditionalGuidedSecondOrder(
+        unet, sched, thr_ref, size, torch.device("cpu"), batch, 0, M=M,
+        threshold_type=threshold_type,
+    )
+
+    x_ref = torch.from_numpy(x_T.transpose(0, 3, 1, 2))
+    ref_traj: List[np.ndarray] = []
+    y = torch.zeros(batch, dtype=torch.long)
+    momentum = torch.zeros_like(x_ref)  # :147
+    orig_randn_like = torch.randn_like
+    try:
+        with torch.no_grad(), contextlib.redirect_stdout(io.StringIO()):
+            for i, t in enumerate(sched.timesteps):
+                t = int(t)
+                t_tensor = torch.full((batch,), t, dtype=torch.long)
+                eps = eps_fn_torch(x_ref, t)
+                out = sched.step(eps, t, x_ref, eta=0.0)
+                prev = out.prev_sample
+                alpha_hat_t = sched.alphas_cumprod[i]  # :157
+                if (start_step + num_steps) > i >= start_step:
+                    w = i - start_step
+                    # M ensemble draws, then the sign draw (:249); the
+                    # method's internal step() draws one more (unused at
+                    # eta=0) which lands on the queue's fallback
+                    queue = _NoiseQueue(
+                        [ens[w, m].transpose(0, 3, 1, 2).copy() for m in range(M)]
+                        + [sign[w].transpose(0, 3, 1, 2).copy()]
+                    )
+                    torch.randn_like = queue
+                    try:
+                        prev, momentum = pipe.update_with_uncertainty(
+                            x_ref, y, 0.99, momentum, i, t, t_tensor, eps,
+                            prev, alpha_hat_t,
+                        )
+                    finally:
+                        torch.randn_like = orig_randn_like
+                    assert queue.exhausted
+                x_ref = prev
+                ref_traj.append(_to_nhwc(x_ref))
+    finally:
+        torch.randn_like = orig_randn_like
+
+    schedule = make_schedule("linear", 1000)
+    cfg = SamplerConfig(
+        num_inference_steps=steps, after_step=start_step, num_steps_uc=num_steps
+    )
+    guidance = make_second_order_guidance(
+        M=M,
+        threshold=thr_jax,
+        threshold_type=threshold_type,
+        step_index_offset=start_step,
+        compat_step_index_alpha=True,
+        ensemble_noise=ens,
+        sign_noise=sign,
+    )
+    res = sample_ddim(
+        model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
+        guidance=guidance, collect_intermediates=True,
+    )
+
+    traj = np.asarray(res.intermediates, np.float32)
+    assert traj.shape[0] == len(ref_traj)
+    return {
+        "traj": max(_max_diff(r, traj[i]) for i, r in enumerate(ref_traj))
+    }
+
+
+def score_model_gradient_loop_diff(
+    steps: int = 8,
+    after_step: int = 3,
+    num_steps_uc: int = 3,
+    batch: int = 2,
+    size: int = 8,
+    channels: int = 3,
+    seed: int = 0,
+    normalize_grad: bool = False,
+    root: str = REFERENCE_ROOT,
+) -> Dict[str, float]:
+    """EXACT whole-trajectory oracle for the trained-surrogate gradient fork
+    (``scheduling_ddim_score_uncertainty_model_gradient.py:519-575``).
+
+    The fork is deterministic (no ensemble noise — the surrogate predicts u
+    from pred_epsilon and the timestep INDEX via ``timesteps_index_map``,
+    ``:385,525``), so the whole guided loop must match to f32 roundoff: u =
+    surrogate(eps, idx), eps' = eps + ∂(u.mean(0).sum())/∂eps · ᾱ_t, x̂0 kept
+    from the ORIGINAL model output (``:555``), direction from eps'
+    (``:570-573``). Both sides use the same analytic differentiable
+    surrogate."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from ..diffusion.sampler import SamplerConfig, sample_ddim
+    from ..diffusion.schedule import make_schedule, spaced_timesteps
+    from ..uncertainty.guidance import make_score_model_gradient_guidance
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    mod = import_reference(
+        "schedulers_uncertainty.scheduling_ddim_score_uncertainty_model_gradient",
+        root,
+    )
+    eps_fn_torch, model_fn = _oracle_models(size)
+    unet = _make_oracle_unet(eps_fn_torch)
+
+    class _AnalyticScoreModel(torch.nn.Module):
+        def forward(self, eps, idx):
+            s = 1.0 + 0.1 * torch.sin(idx.float().view(-1, 1, 1, 1))
+            return 0.5 * (eps * s) ** 2 + 0.3 * torch.cos(eps)
+
+    def score_model_apply(eps, idx):
+        s = 1.0 + 0.1 * jnp.sin(idx.astype(jnp.float32).reshape(-1, 1, 1, 1))
+        return 0.5 * (eps * s) ** 2 + 0.3 * jnp.cos(eps)
+
+    sched = mod.DDIMSchedulerUncertainty(
+        after_step=after_step, num_steps_uc=num_steps_uc, unet=unet,
+        score_model=_AnalyticScoreModel(), normalize_grad=normalize_grad,
+    )
+    sched.set_timesteps(steps)
+
+    rs = np.random.RandomState(seed)
+    x_T = rs.randn(batch, size, size, channels).astype(np.float32)
+    x_ref = torch.from_numpy(x_T.transpose(0, 3, 1, 2))
+    ref_traj: List[np.ndarray] = []
+    ref_unc: List[np.ndarray] = []
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        for t in sched.timesteps:
+            t = int(t)
+            with torch.no_grad():
+                eps = eps_fn_torch(x_ref, t)
+            out = sched.step(eps, t, x_ref, eta=0.0)
+            if getattr(out, "uncertainty", None) is not None:
+                ref_unc.append(_to_nhwc(out.uncertainty.detach()))
+            x_ref = out.prev_sample.detach()
+            ref_traj.append(_to_nhwc(x_ref))
+
+    schedule = make_schedule("linear", 1000)
+    cfg = SamplerConfig(
+        num_inference_steps=steps, after_step=after_step, num_steps_uc=num_steps_uc
+    )
+    ts = spaced_timesteps(1000, steps, "leading", 0)
+    guidance = make_score_model_gradient_guidance(
+        score_model_apply, ts, normalize_grad=normalize_grad
+    )
+    res = sample_ddim(
+        model_fn, schedule, jnp.asarray(x_T), jax.random.key(seed), cfg,
+        guidance=guidance, collect_intermediates=True,
+    )
+
+    diffs: Dict[str, float] = {}
+    traj = np.asarray(res.intermediates, np.float32)
+    assert traj.shape[0] == len(ref_traj)
+    diffs["traj"] = max(_max_diff(r, traj[i]) for i, r in enumerate(ref_traj))
+    unc = np.asarray(res.uncertainty, np.float32)
+    assert unc.shape[0] == len(ref_unc), (unc.shape, len(ref_unc))
+    diffs["u"] = max(_max_diff(r, unc[i]) for i, r in enumerate(ref_unc))
+    return diffs
+
+
+def ause_metric_diff(
+    n: int = 4096, intervals: int = 50, seed: int = 0, root: str = REFERENCE_ROOT
+) -> Dict[str, float]:
+    """Same-array AUSE/AURG oracle: feed identical (gt, pred, uncert) arrays
+    to the reference's ``metrics.ause.compute_aucs`` (``metrics/ause.py:
+    91-146``, the paper's Table-2 metric) and to both our exact and TPU-fast
+    implementations; return absolute differences of the AUSE/AURG scalars and
+    the max pointwise curve differences."""
+    import jax.numpy as jnp
+
+    from ..metrics.ause import (
+        ause_aurg_from_curves,
+        compute_aucs,
+        sparsification_curves_fast,
+    )
+
+    ref = import_reference("metrics.ause", root)
+    rs = np.random.RandomState(seed)
+    gt = (rs.rand(n) * 2 - 1).astype(np.float32)
+    pred = (gt + 0.3 * rs.randn(n)).astype(np.float32)
+    # mid-quality uncertainty: correlated with the true error + noise, so the
+    # sparse curve sits strictly between oracle and random
+    uncert = (np.abs(gt - pred) + 0.1 * rs.rand(n)).astype(np.float32)
+
+    aucs_ref, curves_ref = ref.compute_aucs(gt, pred, uncert, intervals)
+    aucs, curves = compute_aucs(gt, pred, uncert, intervals)
+
+    out = {
+        "ause": abs(aucs["rmse"][0] - float(aucs_ref["rmse"][0])),
+        "aurg": abs(aucs["rmse"][1] - float(aucs_ref["rmse"][1])),
+        "sparse_curve": max(
+            abs(float(a) - float(b))
+            for a, b in zip(curves["rmse"][2], curves_ref["rmse"][2])
+        ),
+        "opt_curve": max(
+            abs(float(a) - float(b))
+            for a, b in zip(curves["rmse"][0], curves_ref["rmse"][0])
+        ),
+    }
+    opt, rnd, sparse = sparsification_curves_fast(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(uncert), intervals
+    )
+    a_f, g_f = ause_aurg_from_curves(np.asarray(opt), np.asarray(rnd), np.asarray(sparse))
+    out["fast_ause"] = abs(a_f - float(aucs_ref["rmse"][0]))
+    out["fast_aurg"] = abs(g_f - float(aucs_ref["rmse"][1]))
+    return out
+
+
+def precision_recall_metric_diff(
+    n: int = 512, dim: int = 64, k: int = 3, seed: int = 0, root: str = REFERENCE_ROOT
+) -> Dict[str, float]:
+    """Same-array improved-P&R oracle vs the reference's kNN manifold math
+    (``metrics/precision_recall.py:194-282``: f64 pairwise distances,
+    (k+1)-smallest radii incl. self, strict ``dist < radii`` membership).
+    Features are drawn so the two manifolds overlap partially — precision and
+    recall both land strictly inside (0, 1)."""
+    import torch
+
+    from .diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    ref = import_reference("metrics.precision_recall", root)
+
+    from ..metrics.precision_recall import knn_radii, precision_recall
+
+    rs = np.random.RandomState(seed)
+    real = rs.randn(n, dim).astype(np.float32)
+    gen = (rs.randn(n, dim) * 1.1 + 0.2).astype(np.float32)
+
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        radii_real = ref.distances2radii(ref.compute_pairwise_distances(real), k)
+        radii_gen = ref.distances2radii(ref.compute_pairwise_distances(gen), k)
+        # IPR.precision_and_recall wraps manifold features AND radii as torch
+        # tensors before compute_metric (:65-67)
+        m_real = ref.Manifold(torch.from_numpy(real), torch.from_numpy(radii_real))
+        m_gen = ref.Manifold(torch.from_numpy(gen), torch.from_numpy(radii_gen))
+        prec_ref = float(ref.compute_metric(m_real, torch.from_numpy(gen)))
+        rec_ref = float(ref.compute_metric(m_gen, torch.from_numpy(real)))
+
+    import jax.numpy as jnp
+
+    pr = precision_recall(real, gen, k=k)
+    r_j = np.sqrt(np.asarray(knn_radii(jnp.asarray(real), k), np.float64))
+    return {
+        "precision": abs(pr.precision - prec_ref),
+        "recall": abs(pr.recall - rec_ref),
+        "radii": float(np.max(np.abs(r_j - np.asarray(radii_real)))),
+        "precision_ref": prec_ref,
+        "recall_ref": rec_ref,
+    }

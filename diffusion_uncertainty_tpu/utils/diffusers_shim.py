@@ -122,4 +122,36 @@ def install_diffusers_shim() -> bool:
         SchedulerMixin=SchedulerMixin,
         SchedulerOutput=SchedulerOutput,
     )
+
+    # the guided class-conditional pipelines additionally import beartype
+    # (a runtime type-check decorator — pass-through here) and `click.Option`
+    # (imported but unused, ``pipeline_..._posterior_distribution.py:3``)
+    if "beartype" not in sys.modules:
+        def _beartype(obj=None, **kwargs):
+            if obj is None:  # @beartype(conf=...) usage
+                return lambda f: f
+            return obj
+
+        _mod("beartype", beartype=_beartype)
+    if "click" not in sys.modules:
+        _mod(
+            "click",
+            Option=type("Option", (), {}),
+            prompt=lambda *a, **k: None,
+        )
+    # metrics/precision_recall.py imports `path.Path` (jaraco/path.py) and
+    # torchvision (vgg16 weights + transforms) at module top; the kNN math we
+    # oracle (compute_pairwise_distances/distances2radii/compute_metric)
+    # touches neither, so minimal stand-ins suffice
+    if "path" not in sys.modules:
+        import pathlib
+
+        _mod("path", Path=pathlib.Path)
+    if "torchvision" not in sys.modules:
+        def _no_weights(*a, **k):
+            raise RuntimeError("torchvision shim: model weights unavailable")
+
+        _mod("torchvision")
+        _mod("torchvision.models", vgg16=_no_weights, VGG16_Weights=types.SimpleNamespace(DEFAULT=None))
+        _mod("torchvision.transforms", Compose=_no_weights, Resize=_no_weights, ToTensor=_no_weights)
     return True

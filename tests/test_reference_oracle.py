@@ -153,3 +153,104 @@ def test_ddim_whole_loop_matches_reference_openai_sampler():
     assert len(diffs) == 30
     worst = max(d for _, d in diffs)
     assert worst < 1e-4, diffs
+
+
+@needs_ref
+def test_posterior_pipeline_is_broken_upstream():
+    """Verify (not assume) the posterior guided PIPELINE class is broken
+    upstream code: the driver script's ctor call passes threshold_type=
+    (generate_images_with_uncertainty_threshold.py:215) which __init__
+    rejects, and __call__'s window block calls the 4-positional-arg
+    calculate_threshold_map with 3 args (:158 vs :11). Its MATH is working
+    and is oracled by test_posterior_guided_loop_matches_reference_methods."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import (
+        posterior_pipeline_broken,
+    )
+
+    out = posterior_pipeline_broken()
+    assert out["ctor_threshold_type"].startswith("TypeError"), out
+    assert out["call_threshold_map_3args"].startswith("TypeError"), out
+
+
+@needs_ref
+@pytest.mark.parametrize("threshold", ["midrange", 0.5])
+def test_posterior_guided_loop_matches_reference_methods(threshold):
+    """Matched-noise EXACT oracle of the posterior-distribution guidance:
+    identical ensemble draws on both sides, so trajectories, uncertainty
+    maps, and masks must agree to f32 roundoff — including the reference's
+    two latent bugs (ᾱ at the loop index :152, posterior score from the
+    last member's batch-sum :242), replicated via the documented compat
+    knobs on make_threshold_guidance. threshold=0.5 exercises the per-image
+    float-quantile mask (mixed); "midrange" the per-step tensor branch."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import (
+        posterior_guided_loop_diff,
+    )
+
+    diffs = posterior_guided_loop_diff(threshold=threshold)
+    assert diffs["traj"] < 1e-4, diffs
+    assert diffs["u"] < 1e-5, diffs
+
+
+@needs_ref
+@pytest.mark.parametrize("threshold,threshold_type", [(0.5, "higher"), (0.7, "lower")])
+def test_second_order_guided_loop_matches_reference(threshold, threshold_type):
+    """Matched-noise EXACT whole-trajectory oracle of the second-order
+    momentum pipeline's actual update_with_uncertainty/estimate_score_update
+    methods (...guided_second_order.py:195-298): centered mean-square u over
+    M forwards at ᾱ[loop index], eps' = eps + u·sign(n)·mask."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import (
+        second_order_guided_loop_diff,
+    )
+
+    diffs = second_order_guided_loop_diff(
+        threshold=threshold, threshold_type=threshold_type
+    )
+    assert diffs["traj"] < 1e-4, diffs
+
+
+@needs_ref
+@pytest.mark.parametrize("normalize_grad", [False, True])
+def test_score_model_gradient_loop_matches_reference_fork(normalize_grad):
+    """EXACT whole-loop oracle of the trained-surrogate gradient fork
+    (scheduling_ddim_score_uncertainty_model_gradient.py:519-575) — fully
+    deterministic, so every intermediate sample and u map must match:
+    u = surrogate(eps, step_index), eps' = eps + grad·ᾱ_t, x̂0 kept from the
+    original model output, direction from eps'."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import (
+        score_model_gradient_loop_diff,
+    )
+
+    diffs = score_model_gradient_loop_diff(normalize_grad=normalize_grad)
+    assert diffs["traj"] < 1e-4, diffs
+    assert diffs["u"] < 1e-4, diffs
+
+
+@needs_ref
+def test_ause_matches_reference_math():
+    """Same-array AUSE/AURG oracle vs metrics/ause.py:91-146 (Table-2 math):
+    the exact path must agree to f64 roundoff; the sort-based TPU-fast path
+    to the documented ~1/N interpolation tolerance."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import ause_metric_diff
+
+    d = ause_metric_diff()
+    assert d["ause"] < 1e-9 and d["aurg"] < 1e-9, d
+    # curve points: the reference reduces masked subsets in f32-derived
+    # arrays; pointwise agreement to ~1e-8, scalars integrate to ~1e-10
+    assert d["sparse_curve"] < 1e-6 and d["opt_curve"] < 1e-6, d
+    assert d["fast_ause"] < 2e-3 and d["fast_aurg"] < 2e-3, d
+
+
+@needs_ref
+def test_precision_recall_matches_reference_math():
+    """Same-array improved-P&R oracle vs the reference kNN manifold
+    (precision_recall.py:194-282): identical k-th radii (f32 vs f64 roundoff)
+    and COUNT-EXACT precision/recall on partially-overlapping manifolds."""
+    from diffusion_uncertainty_tpu.utils.activation_diff import (
+        precision_recall_metric_diff,
+    )
+
+    d = precision_recall_metric_diff()
+    assert 0.05 < d["precision_ref"] < 0.95, d  # non-degenerate fixture
+    assert 0.05 < d["recall_ref"] < 0.95, d
+    assert d["precision"] < 1e-9 and d["recall"] < 1e-9, d
+    assert d["radii"] < 1e-3, d
