@@ -233,3 +233,190 @@ def test_vgg16_features_wrapper_pads_small_images(tmp_path):
     assert feats.shape == (3, 4096)
     assert np.isfinite(feats).all()
     assert ext.dim == 4096
+
+
+def test_inception_converter_matches_torch_forward():
+    """Numerical parity of the flax pytorch-fid InceptionV3 vs a hand-built
+    torch model with torchvision/pytorch-fid key layout and the FID variant's
+    pooling quirks (count_include_pad=False average pools in A/C/E, max-pool
+    branch in the final InceptionE) — catches conv-transpose, BN-eps, padding
+    and pooling-semantics bugs (VERDICT r3 #2). Runs the trunk on 128² inputs
+    (fully convolutional; the 299² resize lives in InceptionV3Features)."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from diffusion_uncertainty_tpu.metrics.features import (
+        InceptionV3,
+        convert_inception,
+    )
+
+    class BasicConv2d(tnn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    def avgp(x):  # the pytorch-fid patch: count_include_pad=False
+        return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+    class IncA(tnn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat(
+                [self.branch1x1(x), b5, bd, self.branch_pool(avgp(x))], 1
+            )
+
+    class IncB(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([self.branch3x3(x), bd, F.max_pool2d(x, 3, 2)], 1)
+
+    class IncC(tnn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(
+                self.branch7x7dbl_4(
+                    self.branch7x7dbl_3(self.branch7x7dbl_2(self.branch7x7dbl_1(x)))
+                )
+            )
+            return torch.cat(
+                [self.branch1x1(x), b7, bd, self.branch_pool(avgp(x))], 1
+            )
+
+    class IncD(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3_2(self.branch3x3_1(x))
+            b7 = self.branch7x7x3_4(
+                self.branch7x7x3_3(self.branch7x7x3_2(self.branch7x7x3_1(x)))
+            )
+            return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+    class IncE(tnn.Module):
+        def __init__(self, cin, pool="avg"):
+            super().__init__()
+            self.pool = pool
+            self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            if self.pool == "max":  # pytorch-fid FIDInceptionE_2 (Mixed_7c)
+                bp = F.max_pool2d(x, 3, stride=1, padding=1)
+            else:  # FIDInceptionE_1
+                bp = avgp(x)
+            return torch.cat(
+                [self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1
+            )
+
+    class FIDInceptionTrunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = IncA(192, 32)
+            self.Mixed_5c = IncA(256, 64)
+            self.Mixed_5d = IncA(288, 64)
+            self.Mixed_6a = IncB(288)
+            self.Mixed_6b = IncC(768, 128)
+            self.Mixed_6c = IncC(768, 160)
+            self.Mixed_6d = IncC(768, 160)
+            self.Mixed_6e = IncC(768, 192)
+            self.Mixed_7a = IncD(768)
+            self.Mixed_7b = IncE(1280)
+            self.Mixed_7c = IncE(2048, pool="max")
+
+        def forward(self, x):
+            x = self.Conv2d_1a_3x3(x)
+            x = self.Conv2d_2a_3x3(x)
+            x = self.Conv2d_2b_3x3(x)
+            x = F.max_pool2d(x, 3, 2)
+            x = self.Conv2d_3b_1x1(x)
+            x = self.Conv2d_4a_3x3(x)
+            x = F.max_pool2d(x, 3, 2)
+            for m in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d, self.Mixed_6a,
+                      self.Mixed_6b, self.Mixed_6c, self.Mixed_6d, self.Mixed_6e,
+                      self.Mixed_7a, self.Mixed_7b, self.Mixed_7c):
+                x = m(x)
+            return F.adaptive_avg_pool2d(x, 1).flatten(1)
+
+    torch.manual_seed(0)
+    ref = FIDInceptionTrunk().eval()
+    # sharpen: random (non-identity) BN statistics and affine params
+    gen = torch.Generator().manual_seed(1)
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, tnn.Conv2d):
+                m.weight.normal_(0.0, 0.05, generator=gen)
+            elif isinstance(m, tnn.BatchNorm2d):
+                m.weight.normal_(1.0, 0.1, generator=gen)
+                m.bias.normal_(0.0, 0.1, generator=gen)
+                m.running_mean.normal_(0.0, 0.1, generator=gen)
+                m.running_var.uniform_(0.5, 1.5, generator=gen)
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_inception(sd))
+
+    x = (np.random.RandomState(2).rand(2, 128, 128, 3).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        t_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    j_out = np.asarray(InceptionV3().apply(params, jnp.asarray(x)))
+    assert j_out.shape == (2, 2048)
+    scale = np.abs(t_out).max()
+    np.testing.assert_allclose(j_out / scale, t_out / scale, atol=2e-4)
