@@ -17,12 +17,12 @@ token, transformers' ``CLIPTextModel`` convention).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["CLIPTextConfig", "CLIPTextEncoder"]
+__all__ = ["CLIPTextConfig", "CLIPTextEncoder", "CLIPTextOutput"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,15 +33,34 @@ class CLIPTextConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
-    hidden_act: str = "quick_gelu"  # ViT-L/14; SD2's OpenCLIP uses "gelu"
+    hidden_act: str = "quick_gelu"  # ViT-L/14; SD2/bigG's OpenCLIP uses "gelu"
     eos_token_id: int = -1  # -1: legacy argmax pooling (eos == highest id)
     layer_norm_eps: float = 1e-5
+    # > 0: CLIPTextModelWithProjection — pooled output projected (no bias)
+    # to this width, the SD3/Flux conditioning convention
+    projection_dim: int = 0
     dtype: Any = jnp.float32
 
     @staticmethod
     def vit_l_14() -> "CLIPTextConfig":
         """openai/clip-vit-large-patch14 text tower (SD1.5)."""
         return CLIPTextConfig()
+
+    @staticmethod
+    def vit_l_14_projected() -> "CLIPTextConfig":
+        """SD3/Flux text_encoder: CLIP ViT-L with a 768-d text projection
+        (``pipeline_stable_diffusion_3_uncertainty_guided.py:90-93``)."""
+        return CLIPTextConfig(eos_token_id=49407, projection_dim=768)
+
+    @staticmethod
+    def vit_bigg_14() -> "CLIPTextConfig":
+        """SD3 text_encoder_2: OpenCLIP bigG/14 text tower with a 1280-d
+        projection (laion/CLIP-ViT-bigG-14-laion2B-39B-b160k)."""
+        return CLIPTextConfig(
+            hidden_size=1280, num_layers=32, num_heads=20,
+            intermediate_size=5120, hidden_act="gelu",
+            eos_token_id=49407, projection_dim=1280,
+        )
 
     @staticmethod
     def tiny() -> "CLIPTextConfig":
@@ -51,11 +70,20 @@ class CLIPTextConfig:
         )
 
 
+class CLIPTextOutput(NamedTuple):
+    last_hidden: jnp.ndarray  # [B, L, D] f32, after the final LN
+    pooled: jnp.ndarray  # [B, D] (projected to projection_dim when configured)
+    penultimate: jnp.ndarray  # [B, L, D] hidden_states[-2] (pre-final-layer,
+    # no final LN) — what SD3 feeds the MMDiT context (diffusers clip_skip=None)
+
+
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * nn.sigmoid(1.702 * x)
     if name == "gelu":
-        return nn.gelu
+        # transformers ACT2FN["gelu"] is the exact erf GELU (flax defaults to
+        # the tanh approximation)
+        return lambda x: nn.gelu(x, approximate=False)
     raise ValueError(name)
 
 
@@ -97,13 +125,14 @@ class _CLIPLayer(nn.Module):
 
 
 class CLIPTextEncoder(nn.Module):
-    """apply(params, input_ids[B, L] int32) -> (last_hidden [B,L,D] f32,
-    pooled [B,D] f32)."""
+    """apply(params, input_ids[B, L] int32) -> :class:`CLIPTextOutput`.
+
+    ``out[:2]`` unpacks as the historical ``(last_hidden, pooled)`` pair."""
 
     cfg: CLIPTextConfig
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids) -> CLIPTextOutput:
         cfg = self.cfg
         b, L = input_ids.shape
         tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=cfg.dtype,
@@ -115,7 +144,10 @@ class CLIPTextEncoder(nn.Module):
         )
         x = tok + pos[None, :L].astype(cfg.dtype)
         mask = jnp.tril(jnp.ones((L, L), bool))[None, None]  # causal
+        penultimate = x
         for i in range(cfg.num_layers):
+            if i == cfg.num_layers - 1:
+                penultimate = x  # transformers hidden_states[-2]
             x = _CLIPLayer(cfg, name=f"layer_{i}")(x, mask)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="final_layer_norm")(x)
@@ -127,4 +159,9 @@ class CLIPTextEncoder(nn.Module):
         else:
             eot = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(b), eot]
-        return x, pooled
+        if cfg.projection_dim > 0:
+            pooled = nn.Dense(
+                cfg.projection_dim, use_bias=False, dtype=jnp.float32,
+                name="text_projection",
+            )(pooled)
+        return CLIPTextOutput(x, pooled, penultimate.astype(jnp.float32))

@@ -50,6 +50,7 @@ __all__ = [
     "convert_uvit",
     "convert_autoencoder_kl",
     "convert_clip_text",
+    "convert_t5_encoder",
 ]
 
 
@@ -750,8 +751,52 @@ def convert_clip_text(state_dict: dict, cfg) -> dict:
             "fc1": _dense(sd, f"{b}.mlp.fc1"),
             "fc2": _dense(sd, f"{b}.mlp.fc2"),
         }
+    # CLIPTextModelWithProjection (SD3/Flux towers incl. CLIP-G): the no-bias
+    # pooled projection
+    if getattr(cfg, "projection_dim", 0) > 0:
+        P["text_projection"] = _dense(sd, "text_projection", bias=False)
     # transformers registers a position_ids buffer in some versions; consume
     # it so strict accounting passes either way
     sd.sd.pop(f"{pfx}.embeddings.position_ids", None)
+    sd.finish()
+    return {"params": P}
+
+
+def convert_t5_encoder(state_dict: dict, cfg) -> dict:
+    """transformers ``T5EncoderModel`` state dict -> flax ``T5Encoder`` params
+    (SD3's text_encoder_3 / Flux's text_encoder_2, t5-v1_1-xxl —
+    ``pipeline_stable_diffusion_3_uncertainty_guided.py:118-121``,
+    ``pipeline_flux_uncertainty.py:60``)."""
+    sd = _SD(state_dict)
+    # encoder.embed_tokens.weight aliases shared.weight; consume both
+    shared = sd.take("shared.weight")
+    if sd.has("encoder.embed_tokens.weight"):
+        sd.take("encoder.embed_tokens.weight")
+    P: dict = {
+        "token_embedding": {"embedding": shared},
+        "relative_attention_bias": sd.take(
+            "encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"
+        ),
+        "final_layer_norm": {"weight": sd.take("encoder.final_layer_norm.weight")},
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}"
+        blk = {
+            "attn_norm": {"weight": sd.take(f"{b}.layer.0.layer_norm.weight")},
+            "attention": {
+                "q": _dense(sd, f"{b}.layer.0.SelfAttention.q", bias=False),
+                "k": _dense(sd, f"{b}.layer.0.SelfAttention.k", bias=False),
+                "v": _dense(sd, f"{b}.layer.0.SelfAttention.v", bias=False),
+                "o": _dense(sd, f"{b}.layer.0.SelfAttention.o", bias=False),
+            },
+            "ff_norm": {"weight": sd.take(f"{b}.layer.1.layer_norm.weight")},
+        }
+        if cfg.feed_forward_proj == "gated-gelu":
+            blk["wi_0"] = _dense(sd, f"{b}.layer.1.DenseReluDense.wi_0", bias=False)
+            blk["wi_1"] = _dense(sd, f"{b}.layer.1.DenseReluDense.wi_1", bias=False)
+        else:
+            blk["wi"] = _dense(sd, f"{b}.layer.1.DenseReluDense.wi", bias=False)
+        blk["wo"] = _dense(sd, f"{b}.layer.1.DenseReluDense.wo", bias=False)
+        P[f"block_{i}"] = blk
     sd.finish()
     return {"params": P}

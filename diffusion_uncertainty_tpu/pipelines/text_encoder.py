@@ -20,7 +20,16 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["encode_prompts", "encode_tokens_flax", "pseudo_text_embeddings", "SD15_TEXT_DIM", "SD15_TEXT_LEN"]
+__all__ = [
+    "encode_prompts",
+    "encode_prompts_ex",
+    "encode_tokens_flax",
+    "pseudo_text_embeddings",
+    "pseudo_token_ids",
+    "T2ITowers",
+    "SD15_TEXT_DIM",
+    "SD15_TEXT_LEN",
+]
 
 SD15_TEXT_DIM = 768  # CLIP ViT-L/14 hidden size
 SD15_TEXT_LEN = 77
@@ -55,8 +64,8 @@ def encode_tokens_flax(params, input_ids: np.ndarray, cfg=None) -> np.ndarray:
     from ..models import CLIPTextConfig, CLIPTextEncoder
 
     cfg = cfg or CLIPTextConfig.vit_l_14()
-    hid, _ = CLIPTextEncoder(cfg).apply(params, jnp.asarray(input_ids, jnp.int32))
-    return np.asarray(hid, np.float32)
+    out = CLIPTextEncoder(cfg).apply(params, jnp.asarray(input_ids, jnp.int32))
+    return np.asarray(out.last_hidden, np.float32)
 
 
 def encode_prompts(
@@ -65,7 +74,17 @@ def encode_prompts(
     model_name: str = "openai/clip-vit-large-patch14",
     local_path: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(cond, uncond) embeddings, each [B, 77, D] float32.
+    """(cond, uncond) — see :func:`encode_prompts_ex`."""
+    return encode_prompts_ex(prompts, negative_prompts, model_name, local_path)[:2]
+
+
+def encode_prompts_ex(
+    prompts: Sequence[str],
+    negative_prompts: Optional[Sequence[str]] = None,
+    model_name: str = "openai/clip-vit-large-patch14",
+    local_path: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """(cond, uncond, used_pseudo) embeddings, each [B, 77, D] float32.
 
     Tries a local/downloaded CLIP text encoder first (``transformers``, torch
     CPU); on failure (zero egress, missing weights) falls back to
@@ -96,9 +115,169 @@ def encode_prompts(
             with torch.no_grad():
                 return encoder(tokens.input_ids)[0].float().numpy()
 
-        return enc(prompts), enc(negative_prompts)
+        return enc(prompts), enc(negative_prompts), False
     except Exception:
         return (
             pseudo_text_embeddings(list(prompts)),
             pseudo_text_embeddings(list(negative_prompts)),
+            True,
         )
+
+
+# ---------------------------------------------------------------------------
+# SD3 / Flux conditioning through real flax towers
+# ---------------------------------------------------------------------------
+#
+# Reference: SD3 encodes through (tokenizer, text_encoder=CLIP-L-proj),
+# (tokenizer_2, text_encoder_2=CLIP-G-proj), (tokenizer_3, text_encoder_3=T5)
+# (``pipeline_stable_diffusion_3_uncertainty_guided.py:90-93,118-121``);
+# Flux through (CLIP-L pooled, T5 hidden) (``pipeline_flux_uncertainty.py:60``).
+# Conditioning assembly (diffusers SD3 encode_prompt):
+#   clip_ctx  = concat([clip_l.hidden_states[-2], clip_g.hidden_states[-2]], -1)
+#   context   = seq-concat([zero-pad(clip_ctx -> t5_dim), t5_hidden])
+#   pooled    = concat([clip_l.text_embeds, clip_g.text_embeds], -1)
+# Tokenization is host-side; in zero-egress environments deterministic
+# hash-seeded pseudo TOKEN IDS stand in (the towers themselves stay real).
+
+CLIP_VOCAB = 49408
+CLIP_EOS = 49407
+T5_VOCAB = 32128
+
+
+def pseudo_token_ids(
+    prompts: Sequence[str], seq_len: int, vocab_size: int,
+    bos: Optional[int] = None, eos: Optional[int] = None, pad: int = 0,
+) -> np.ndarray:
+    """Deterministic prompt-hashed token ids (the zero-egress tokenizer
+    stand-in): per prompt, a hash-seeded id sequence of length ~len(words)+2,
+    padded to ``seq_len``, with optional BOS/EOS structure."""
+    import hashlib
+
+    out = np.full((len(prompts), seq_len), pad, np.int32)
+    for i, p in enumerate(prompts):
+        seed = int.from_bytes(hashlib.sha256(("tok:" + p).encode()).digest()[:4], "little")
+        rs = np.random.RandomState(seed)
+        n = min(max(len(p.split()), 1) + 2, seq_len)
+        ids = rs.randint(1, vocab_size - 2, size=n)
+        if bos is not None:
+            ids[0] = bos
+        if eos is not None:
+            ids[n - 1] = eos
+        out[i, :n] = ids
+    return out
+
+
+def _clip_tokenize(prompts, seq_len, local_path=None):
+    """(ids [B, seq_len] int32, used_pseudo)."""
+    try:
+        from transformers import CLIPTokenizer
+
+        tok = CLIPTokenizer.from_pretrained(
+            local_path or "openai/clip-vit-large-patch14", local_files_only=True
+        )
+        enc = tok(list(prompts), padding="max_length", max_length=seq_len,
+                  truncation=True, return_tensors="np")
+        return enc["input_ids"].astype(np.int32), False
+    except Exception:
+        return pseudo_token_ids(
+            prompts, seq_len, CLIP_VOCAB, bos=CLIP_VOCAB - 2, eos=CLIP_EOS
+        ), True
+
+
+def _t5_tokenize(prompts, seq_len, local_path=None):
+    try:
+        from transformers import T5TokenizerFast
+
+        tok = T5TokenizerFast.from_pretrained(
+            local_path or "google/t5-v1_1-xxl", local_files_only=True
+        )
+        enc = tok(list(prompts), padding="max_length", max_length=seq_len,
+                  truncation=True, return_tensors="np")
+        return enc["input_ids"].astype(np.int32), False
+    except Exception:
+        return pseudo_token_ids(prompts, seq_len, T5_VOCAB, eos=1), True
+
+
+class T2ITowers:
+    """Real flax text towers for the SD3/Flux conditioning path.
+
+    ``scale``:
+      * ``"small"`` — real hidden widths (768/1280/4096) at depth 2, random
+        init: runs the full conditioning path in zero-egress environments.
+      * ``"full"``  — the real architectures (CLIP-L-proj, CLIP-G, T5-XXL);
+        pass converted params via ``load(params_dir)`` on weights day, or
+        random init for capability runs.
+    """
+
+    def __init__(self, family: str = "sd3", scale: str = "small", seed: int = 0,
+                 clip_seq: int = 77, t5_seq: int = 77):
+        import dataclasses as dc
+
+        import jax
+
+        from ..models import CLIPTextConfig, CLIPTextEncoder, T5Config, T5Encoder
+
+        assert family in ("sd3", "flux")
+        self.family = family
+        self.clip_seq = clip_seq
+        self.t5_seq = t5_seq
+
+        small = scale == "small"
+        self.clip_l_cfg = CLIPTextConfig.vit_l_14_projected() if family == "sd3" else dc.replace(
+            CLIPTextConfig.vit_l_14(), eos_token_id=CLIP_EOS
+        )
+        if small:
+            self.clip_l_cfg = dc.replace(self.clip_l_cfg, num_layers=2)
+        self.clip_l = CLIPTextEncoder(self.clip_l_cfg)
+        k = jax.random.split(jax.random.key(seed), 3)
+        ids0 = np.zeros((1, clip_seq), np.int32)
+        self.clip_l_params = self.clip_l.init(k[0], ids0)
+
+        self.clip_g_cfg = self.clip_g = self.clip_g_params = None
+        if family == "sd3":
+            self.clip_g_cfg = CLIPTextConfig.vit_bigg_14()
+            if small:
+                self.clip_g_cfg = dc.replace(self.clip_g_cfg, num_layers=2)
+            self.clip_g = CLIPTextEncoder(self.clip_g_cfg)
+            self.clip_g_params = self.clip_g.init(k[1], ids0)
+
+        self.t5_cfg = T5Config.v1_1_xxl()
+        if small:
+            import dataclasses as dc2
+
+            self.t5_cfg = dc2.replace(self.t5_cfg, num_layers=2, d_ff=4096)
+        self.t5 = T5Encoder(self.t5_cfg)
+        self.t5_params = self.t5.init(k[2], np.zeros((1, t5_seq), np.int32))
+        self.used_pseudo_tokens = False
+
+    def load(self, params_dir: str) -> "T2ITowers":
+        """Load converted tower params from an orbax/npz dir (weights day)."""
+        raise NotImplementedError(
+            "mount converted tower checkpoints and wire orbax restore here"
+        )
+
+    def encode(self, prompts: Sequence[str], clip_path=None, t5_path=None):
+        """-> (context [B, clip_seq + t5_seq, t5_dim], pooled [B, P]) float32.
+
+        SD3: P = 768 + 1280 (projected CLIP-L + CLIP-G); Flux: P = 768
+        (CLIP-L eot-pooled, unprojected) and context is the T5 hidden alone.
+        """
+        import jax.numpy as jnp
+
+        ids_l, p1 = _clip_tokenize(prompts, self.clip_seq, clip_path)
+        ids_t5, p3 = _t5_tokenize(prompts, self.t5_seq, t5_path)
+        self.used_pseudo_tokens = bool(p1 or p3)
+
+        out_l = self.clip_l.apply(self.clip_l_params, jnp.asarray(ids_l))
+        t5_hidden = self.t5.apply(self.t5_params, jnp.asarray(ids_t5))
+
+        if self.family == "flux":
+            return np.asarray(t5_hidden, np.float32), np.asarray(out_l.pooled, np.float32)
+
+        out_g = self.clip_g.apply(self.clip_g_params, jnp.asarray(ids_l))
+        clip_ctx = jnp.concatenate([out_l.penultimate, out_g.penultimate], axis=-1)
+        pad = self.t5_cfg.d_model - clip_ctx.shape[-1]
+        clip_ctx = jnp.pad(clip_ctx, ((0, 0), (0, 0), (0, pad)))
+        context = jnp.concatenate([clip_ctx, t5_hidden], axis=1)
+        pooled = jnp.concatenate([out_l.pooled, out_g.pooled], axis=-1)
+        return np.asarray(context, np.float32), np.asarray(pooled, np.float32)

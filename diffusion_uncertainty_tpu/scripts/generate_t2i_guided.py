@@ -53,6 +53,11 @@ class Config:
     unet_weights: Optional[str] = None  # diffusers UNet state dict (torch file)
     vae_weights: Optional[str] = None  # diffusers/CompVis KL-VAE state dict
     clip_path: Optional[str] = None  # local CLIP text encoder dir
+    # SD3/Flux conditioning source: "pseudo" (hash embeddings), "small"
+    # (real flax towers, real widths, depth 2, random init) or "full" (real
+    # CLIP-L/CLIP-G/T5-XXL architectures — weights-day / capability runs)
+    text_towers: str = "pseudo"
+    tower_seq_len: int = 77  # per-tower token length (T5 supports up to 256/512)
     random_init: bool = False
     dtype: str = "bfloat16"
     height: int = 512
@@ -167,16 +172,50 @@ def run_flow_match_family(cfg: Config) -> int:
         convert = convert_sd3_mmdit
 
     b = 1
-    ctx = jnp.asarray(pseudo_text_embeddings([cfg.prompt], seq_len=16, dim=mcfg.joint_attention_dim))
-    pooled = jnp.asarray(
-        pseudo_text_embeddings([cfg.prompt], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
-    )
-    uncond_ctx = jnp.asarray(
-        pseudo_text_embeddings([cfg.prompt_negative], seq_len=16, dim=mcfg.joint_attention_dim)
-    )
-    uncond_pooled = jnp.asarray(
-        pseudo_text_embeddings([cfg.prompt_negative], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
-    )
+    pseudo_text = cfg.text_towers == "pseudo" or tiny
+    pseudo_tokens = False
+    if pseudo_text:
+        if cfg.text_towers != "pseudo" and tiny:
+            log.warning(
+                "tiny model configs have non-standard conditioning dims; "
+                "falling back to pseudo embeddings"
+            )
+        ctx = jnp.asarray(pseudo_text_embeddings([cfg.prompt], seq_len=16, dim=mcfg.joint_attention_dim))
+        pooled = jnp.asarray(
+            pseudo_text_embeddings([cfg.prompt], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
+        )
+        uncond_ctx = jnp.asarray(
+            pseudo_text_embeddings([cfg.prompt_negative], seq_len=16, dim=mcfg.joint_attention_dim)
+        )
+        uncond_pooled = jnp.asarray(
+            pseudo_text_embeddings([cfg.prompt_negative], seq_len=1, dim=mcfg.pooled_projection_dim)[:, 0]
+        )
+        log.warning(
+            "PSEUDO TEXT CONDITIONING: prompts enter as hash-seeded gaussian "
+            "embeddings, not real text encodings — outputs are NOT comparable "
+            "to reference guided results (stamped pseudo_text=true in args.yaml)"
+        )
+    else:
+        # real flax towers (CLIP-L [+CLIP-G] + T5): the reference's
+        # text_encoder/2/3 stack (pipeline_stable_diffusion_3_uncertainty_
+        # guided.py:90-93,118-121; pipeline_flux_uncertainty.py:60)
+        from ..pipelines.text_encoder import T2ITowers
+
+        towers = T2ITowers(
+            "flux" if is_flux else "sd3", scale=cfg.text_towers,
+            seed=cfg.seed, clip_seq=77, t5_seq=cfg.tower_seq_len,
+        )
+        c_ctx, c_pooled = towers.encode([cfg.prompt], clip_path=cfg.clip_path)
+        u_ctx, u_pooled = towers.encode([cfg.prompt_negative], clip_path=cfg.clip_path)
+        pseudo_tokens = towers.used_pseudo_tokens
+        if pseudo_tokens:
+            log.warning(
+                "tokenizer vocab files unavailable: prompts tokenized as "
+                "hash-seeded pseudo token ids (towers themselves are real; "
+                "stamped pseudo_tokens=true in args.yaml)"
+            )
+        ctx, pooled = jnp.asarray(c_ctx), jnp.asarray(c_pooled)
+        uncond_ctx, uncond_pooled = jnp.asarray(u_ctx), jnp.asarray(u_pooled)
 
     x0 = jnp.zeros((b, latent_size, latent_size, channels))
     streamed_exec = None
@@ -263,7 +302,12 @@ def run_flow_match_family(cfg: Config) -> int:
     dest = base / f"{i}"
     dest.mkdir()
     with open(dest / "args.yaml", "w") as f:
-        yaml.safe_dump(dataclasses.asdict(cfg), f)
+        # stamp the conditioning provenance so a fallback-conditioned output
+        # can never be mistaken for a real guided result (VERDICT r3 #8)
+        yaml.safe_dump(
+            {**dataclasses.asdict(cfg), "pseudo_text": bool(pseudo_text),
+             "pseudo_tokens": bool(pseudo_tokens)}, f,
+        )
 
     # VAE decode (16-channel SD3/Flux AutoencoderKL) when weights are given;
     # otherwise the saved PNGs are raw latent channels — named latent_preview
@@ -334,7 +378,7 @@ def main(argv=None) -> int:
     import jax
     import yaml
 
-    from ..pipelines.text_encoder import encode_prompts
+    from ..pipelines.text_encoder import encode_prompts_ex
     from ..pipelines.text_to_image import T2IPipelineConfig, TextToImageUncertaintyPipeline
 
     cfg = parse_config(Config, argv, defaults={})
@@ -342,7 +386,7 @@ def main(argv=None) -> int:
         return run_flow_match_family(cfg)
     model, params, make_denoise_fn, decode, schedule, latent_size, mcfg = build_sd_stack(cfg)
 
-    cond, uncond = encode_prompts(
+    cond, uncond, pseudo_text = encode_prompts_ex(
         [cfg.prompt], [cfg.prompt_negative], local_path=cfg.clip_path
     )
     if cond.shape[-1] != mcfg.cross_attention_dim:  # tiny-model path
@@ -350,6 +394,13 @@ def main(argv=None) -> int:
 
         cond = pseudo_text_embeddings([cfg.prompt], seq_len=5, dim=mcfg.cross_attention_dim)
         uncond = pseudo_text_embeddings([cfg.prompt_negative], seq_len=5, dim=mcfg.cross_attention_dim)
+        pseudo_text = True
+    if pseudo_text:
+        log.warning(
+            "PSEUDO TEXT CONDITIONING: CLIP unavailable — prompts enter as "
+            "hash-seeded gaussian embeddings; outputs are NOT comparable to "
+            "reference guided results (stamped pseudo_text=true in args.yaml)"
+        )
 
     pcfg = T2IPipelineConfig(
         num_inference_steps=cfg.num_steps,
@@ -375,7 +426,7 @@ def main(argv=None) -> int:
     dest = base / f"{i}"
     dest.mkdir()
     with open(dest / "args.yaml", "w") as f:
-        yaml.safe_dump(dataclasses.asdict(cfg), f)
+        yaml.safe_dump({**dataclasses.asdict(cfg), "pseudo_text": bool(pseudo_text)}, f)
 
     key = jax.random.key(cfg.seed)
     res = pipe(cond, key, uncond_embeds=uncond)

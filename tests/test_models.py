@@ -209,10 +209,136 @@ def test_clip_text_encoder_matches_transformers():
     ids[:, -1] = 7  # every sequence carries the eos token
     with torch.no_grad():
         out = ref(torch.from_numpy(ids))
-    hid, pooled = CLIPTextEncoder(cfg).apply(params, np.asarray(ids, np.int32))
+    hid, pooled, _ = CLIPTextEncoder(cfg).apply(params, np.asarray(ids, np.int32))
     np.testing.assert_allclose(
         np.asarray(hid), out.last_hidden_state.numpy(), atol=5e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
         np.asarray(pooled), out.pooler_output.numpy(), atol=5e-5, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("ff_proj", ["gated-gelu", "relu"])
+def test_t5_encoder_matches_transformers(ff_proj):
+    """Flax T5 encoder vs transformers torch T5EncoderModel on a synthetic
+    random-init state dict (VERDICT r3 #1: SD3 text_encoder_3 / Flux
+    text_encoder_2 readiness — t5-v1_1-xxl weights convert unmodified via
+    convert_t5_encoder). Pins the RMSNorm, the unscaled attention logits,
+    the shared bucketed relative position bias, and the gated-GELU FF."""
+    import dataclasses
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import T5Config, T5Encoder
+    from diffusion_uncertainty_tpu.models.convert import convert_t5_encoder
+
+    cfg = dataclasses.replace(T5Config.tiny(), feed_forward_proj=ff_proj)
+    hf = transformers.T5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj=ff_proj, is_encoder_decoder=False, use_cache=False,
+        dropout_rate=0.0,
+    )
+    torch.manual_seed(0)
+    ref = transformers.T5EncoderModel(hf).eval()
+    # default init leaves weights tiny; re-draw for a sharp comparison
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.5)
+    params = convert_t5_encoder({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    L = 18  # > max_distance/num_buckets edges at the tiny config
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, L))
+    with torch.no_grad():
+        out = ref(torch.from_numpy(ids)).last_hidden_state.numpy()
+    hid = np.asarray(T5Encoder(cfg).apply(params, np.asarray(ids, np.int32)))
+    scale = np.abs(out).max()
+    np.testing.assert_allclose(hid / scale, out / scale, atol=5e-5)
+
+
+def test_t5_encoder_attention_mask_matches_transformers():
+    """Padding-mask path: masked positions must not contribute to attention."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import T5Config, T5Encoder
+    from diffusion_uncertainty_tpu.models.convert import convert_t5_encoder
+
+    cfg = T5Config.tiny()
+    hf = transformers.T5Config(
+        vocab_size=cfg.vocab_size, d_model=cfg.d_model, d_kv=cfg.d_kv,
+        d_ff=cfg.d_ff, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+        relative_attention_num_buckets=cfg.relative_attention_num_buckets,
+        relative_attention_max_distance=cfg.relative_attention_max_distance,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False,
+        use_cache=False, dropout_rate=0.0,
+    )
+    torch.manual_seed(1)
+    ref = transformers.T5EncoderModel(hf).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.5)
+    params = convert_t5_encoder({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    rs = np.random.RandomState(1)
+    ids = rs.randint(0, cfg.vocab_size, (2, 12))
+    mask = np.ones((2, 12), np.int64)
+    mask[0, 8:] = 0
+    mask[1, 5:] = 0
+    with torch.no_grad():
+        out = ref(torch.from_numpy(ids), attention_mask=torch.from_numpy(mask))
+    hid = np.asarray(
+        T5Encoder(cfg).apply(params, np.asarray(ids, np.int32), np.asarray(mask, bool))
+    )
+    t = out.last_hidden_state.numpy()
+    # compare unmasked positions only (masked rows differ by convention)
+    for b in range(2):
+        n = int(mask[b].sum())
+        scale = np.abs(t[b, :n]).max()
+        np.testing.assert_allclose(hid[b, :n] / scale, t[b, :n] / scale, atol=5e-5)
+
+
+def test_clip_text_projection_and_penultimate_match_transformers():
+    """CLIPTextModelWithProjection parity (the SD3/Flux CLIP towers, incl.
+    CLIP-G): the no-bias text projection of the eot-pooled state and the
+    penultimate hidden state (hidden_states[-2], what SD3 feeds the MMDiT
+    context) both match transformers."""
+    import dataclasses
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import CLIPTextConfig, CLIPTextEncoder
+    from diffusion_uncertainty_tpu.models.convert import convert_clip_text
+
+    cfg = dataclasses.replace(
+        CLIPTextConfig.tiny(), eos_token_id=7, projection_dim=24, hidden_act="gelu"
+    )
+    hf = transformers.CLIPTextConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers, num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_act="gelu", eos_token_id=7, projection_dim=24,
+    )
+    torch.manual_seed(2)
+    ref = transformers.CLIPTextModelWithProjection(hf).eval()
+    params = convert_clip_text({k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    ids = np.random.RandomState(3).randint(0, cfg.vocab_size, (2, cfg.max_position_embeddings))
+    ids[:, -2] = 7  # eos inside the sequence
+    with torch.no_grad():
+        out = ref(torch.from_numpy(ids), output_hidden_states=True)
+    res = CLIPTextEncoder(cfg).apply(params, np.asarray(ids, np.int32))
+    np.testing.assert_allclose(
+        np.asarray(res.pooled), out.text_embeds.numpy(), atol=5e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.penultimate), out.hidden_states[-2].numpy(), atol=5e-5, rtol=1e-4
     )

