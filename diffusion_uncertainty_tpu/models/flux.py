@@ -44,6 +44,12 @@ class FluxConfig:
     pooled_projection_dim: int = 768  # CLIP pooled width
     guidance_embeds: bool = True  # flux-dev; schnell has False
     axes_dims_rope: Tuple[int, ...] = (16, 56, 56)
+    # sequence parallelism (parallel/sp.py): when set, apply under a shard_map
+    # whose mesh has this axis, with x sharded on latent ROWS and
+    # encoder_hidden_states sharded on text tokens; joint attention runs the
+    # exact ring over the axis and the RoPE row ids offset by the shard's
+    # rank. No reference analogue (SURVEY §2.4).
+    sp_axis: Optional[str] = None
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -149,7 +155,16 @@ class _DoubleBlock(nn.Module):
         qj = _apply_rope(jnp.concatenate([cq, q], axis=1), cos, sin)
         kj = _apply_rope(jnp.concatenate([ck, k], axis=1), cos, sin)
         vj = jnp.concatenate([cv, v], axis=1)
-        out = dot_product_attention(qj, kj, vj).reshape(b, s_txt + s_img, dim)
+        if cfg.sp_axis is not None:
+            # each shard holds [txt_local | img_local]; the union over shards
+            # is the full joint sequence exactly once, and softmax attention
+            # is permutation-invariant in K/V, so the ring is exact
+            from ..parallel.sp import ring_attention_shard
+
+            out = ring_attention_shard(qj, kj, vj, cfg.sp_axis)
+        else:
+            out = dot_product_attention(qj, kj, vj)
+        out = out.reshape(b, s_txt + s_img, dim)
         attn_c, attn_h = out[:, :s_txt], out[:, s_txt:]
 
         h = h + g_msa * dense("to_out")(attn_h)
@@ -187,7 +202,12 @@ class _SingleBlock(nn.Module):
         q, k = _rms_qk(self, q, k, "")
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
-        attn = dot_product_attention(q, k, v).reshape(b, s, dim)
+        if cfg.sp_axis is not None:
+            from ..parallel.sp import ring_attention_shard
+
+            attn = ring_attention_shard(q, k, v, cfg.sp_axis).reshape(b, s, dim)
+        else:
+            attn = dot_product_attention(q, k, v).reshape(b, s, dim)
         mlp = jax.nn.gelu(
             dense("proj_mlp", 4 * dim)(x_n).astype(jnp.float32), approximate=True
         ).astype(cfg.dtype)
@@ -242,7 +262,12 @@ class FluxTransformer(nn.Module):
 
         # RoPE ids: text tokens at the origin (identity rotation), image tokens
         # on the (row, col) grid in axes 1/2 (FluxPipeline._prepare_latent_image_ids)
-        rows = jnp.repeat(jnp.arange(gh, dtype=jnp.float32), gw)
+        row0 = 0.0
+        if cfg.sp_axis is not None:
+            # x is row-sharded: gh is the LOCAL packed-grid height; each
+            # shard's rows sit at a rank-offset window of the global grid
+            row0 = (jax.lax.axis_index(cfg.sp_axis) * gh).astype(jnp.float32)
+        rows = row0 + jnp.repeat(jnp.arange(gh, dtype=jnp.float32), gw)
         cols = jnp.tile(jnp.arange(gw, dtype=jnp.float32), gh)
         img_ids = jnp.stack([jnp.zeros_like(rows), rows, cols], axis=-1)
         txt_ids = jnp.zeros((s_txt, 3), jnp.float32)

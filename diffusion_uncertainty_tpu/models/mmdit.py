@@ -45,6 +45,12 @@ class MMDiTConfig:
     attention_head_dim: int = 64
     num_attention_heads: int = 24  # width = heads * head_dim = 1536
     joint_attention_dim: int = 4096
+    # sequence parallelism (parallel/sp.py): when set, the model must be
+    # applied under a shard_map whose mesh has this axis, with x sharded on
+    # image ROWS and encoder_hidden_states sharded on text tokens; joint
+    # attention runs the exact ring over the axis and the pos-embed crop
+    # offsets by the shard's row rank. No reference analogue (SURVEY §2.4).
+    sp_axis: Optional[str] = None
     pooled_projection_dim: int = 2048
     pos_embed_max_size: int = 192
     qk_norm: Optional[str] = None  # "rms_norm" for SD3.5
@@ -174,7 +180,17 @@ class _JointBlock(nn.Module):
         qj = jnp.concatenate([q, cq], axis=1)
         kj = jnp.concatenate([k, ck], axis=1)
         vj = jnp.concatenate([v, cv], axis=1)
-        out = dot_product_attention(qj, kj, vj).reshape(b, qj.shape[1], dim)
+        if cfg.sp_axis is not None:
+            # sequence-parallel: this shard holds [img_local | txt_local];
+            # the union over shards is the full joint sequence exactly once,
+            # and softmax attention is permutation-invariant in K/V, so the
+            # ring reproduces the unsharded joint attention exactly
+            from ..parallel.sp import ring_attention_shard
+
+            out = ring_attention_shard(qj, kj, vj, cfg.sp_axis)
+        else:
+            out = dot_product_attention(qj, kj, vj)
+        out = out.reshape(b, qj.shape[1], dim)
         attn_h, attn_c = out[:, :s_img], out[:, s_img:]
 
         h = h + g_msa * dense("to_out")(attn_h)
@@ -219,8 +235,18 @@ class MMDiT(nn.Module):
         # (diffusers PatchEmbed.cropped_pos_embed)
         m = cfg.pos_embed_max_size
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, m * m, dim), jnp.float32)
-        top, left = (m - gh) // 2, (m - gw) // 2
-        pos2d = pos.reshape(m, m, dim)[top : top + gh, left : left + gw]
+        if cfg.sp_axis is not None:
+            # x is row-sharded: gh is the LOCAL grid height; crop the global
+            # window and offset by this shard's row rank
+            n_sp = jax.lax.psum(1, cfg.sp_axis)  # static mesh-axis size
+            top = (m - gh * n_sp) // 2 + jax.lax.axis_index(cfg.sp_axis) * gh
+            left = (m - gw) // 2
+            pos2d = jax.lax.dynamic_slice(
+                pos.reshape(m, m, dim), (top, left, 0), (gh, gw, dim)
+            )
+        else:
+            top, left = (m - gh) // 2, (m - gw) // 2
+            pos2d = pos.reshape(m, m, dim)[top : top + gh, left : left + gw]
         tokens = tokens + pos2d.reshape(1, gh * gw, dim).astype(cfg.dtype)
 
         temb = _TimestepTextEmbed(dim, cfg.dtype, name="time_text_embed")(t, pooled_projections)

@@ -41,7 +41,12 @@ try:  # jax >= 0.4.35
 except ImportError:  # pragma: no cover — older stacks
     from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_pp_mesh", "stack_block_params", "pipeline_apply"]
+__all__ = [
+    "make_pp_mesh",
+    "stack_block_params",
+    "pipeline_apply",
+    "mmdit_pipeline_forward",
+]
 
 
 def make_pp_mesh(pipe: int, devices=None) -> Mesh:
@@ -158,3 +163,71 @@ def pipeline_apply(
         check_vma=False,
     )(stacked_params, micro)
     return jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), out_micro)
+
+
+def mmdit_pipeline_forward(
+    cfg,
+    params,
+    x,
+    t,
+    encoder_hidden_states,
+    pooled_projections,
+    mesh: Mesh,
+    axis: str = "pipe",
+    n_micro: int | None = None,
+):
+    """Full MMDiT forward (``models/mmdit.py`` semantics, equality-tested in
+    tests/test_pp.py) with the homogeneous joint blocks pipelined over
+    ``axis``.
+
+    Structure: the embed stage and the output head are replicated (<1% of
+    FLOPs); the ``num_layers - 1`` uniform ``_JointBlock``s are split into
+    the largest prefix divisible by ``n_stages`` — pipelined via
+    :func:`pipeline_apply` with state ``(h, ctx, temb)`` — plus a replicated
+    remainder (SD3-medium's 23 middle blocks over 4 stages = 20 pipelined +
+    3 replicated); the final ``context_pre_only`` block runs replicated.
+
+    ``params``: the full flax tree from ``MMDiT.init`` (or
+    ``pipelines.streamed.random_mmdit_params``). The reference has no
+    pipeline parallelism (SURVEY §2.4); this is the TPU-native depth-scaling
+    path for SD3.5-large-class models.
+    """
+    from ..models.mmdit import _JointBlock
+    from ..pipelines.streamed import mmdit_embed, mmdit_final
+
+    p = params["params"] if isinstance(params, dict) and "params" in params else params
+    head = {
+        k: p[k]
+        for k in (
+            "patch_embed", "pos_embed", "time_text_embed", "context_embedder",
+            "norm_out_linear", "proj_out",
+        )
+    }
+    # flax Conv kernel is [p, p, c, dim]; mmdit_embed's unfold-matmul wants it
+    # flattened row-major, which .reshape inside mmdit_embed already does.
+    n_stages = mesh.shape[axis]
+    n_mid = cfg.num_layers - 1
+    n_pipe = (n_mid // n_stages) * n_stages
+
+    hh, ww = x.shape[1], x.shape[2]
+    h, ctx, temb = mmdit_embed(cfg, head, x, t, encoder_hidden_states, pooled_projections)
+
+    mid = _JointBlock(cfg, context_pre_only=False)
+
+    def block_fn(bp, st):
+        hh_, cc_, tt_ = st
+        hh_, cc_ = mid.apply({"params": bp}, hh_, cc_, tt_)
+        return (hh_, cc_, tt_)
+
+    if n_pipe:
+        stacked = stack_block_params({k: p[k] for k in p if k.startswith("block_")}, n_pipe)
+        h, ctx, temb = pipeline_apply(
+            block_fn, stacked, (h, ctx, temb), mesh, axis=axis, n_micro=n_micro
+        )
+    for i in range(n_pipe, n_mid):  # replicated remainder (< n_stages blocks)
+        h, ctx, temb = block_fn(p[f"block_{i}"], (h, ctx, temb))
+
+    last = _JointBlock(cfg, context_pre_only=True)
+    h, _ = last.apply({"params": p[f"block_{cfg.num_layers - 1}"]}, h, ctx, temb)
+    pp_ = cfg.patch_size
+    return mmdit_final(cfg, head, h, temb, hh // pp_, ww // pp_)

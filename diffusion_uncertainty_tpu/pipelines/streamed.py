@@ -229,41 +229,10 @@ class StreamedMMDiT:
         self._final = jax.jit(self._final_impl, static_argnums=(3, 4))
 
     def _embed_impl(self, head, x, t, ehs, pooled):
-        cfg = self.cfg
-        b, hh, ww, c = x.shape
-        pp, dim, dt = cfg.patch_size, cfg.dim, cfg.dtype
-        gh, gw = hh // pp, ww // pp
-        # stride-p VALID patch conv == unfold + dense on [p, p, c] patches
-        patches = (
-            x.reshape(b, gh, pp, gw, pp, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, pp * pp * c)
-        )
-        k = head["patch_embed"]["kernel"].reshape(pp * pp * c, dim)
-        tokens = patches.astype(dt) @ k.astype(dt) + head["patch_embed"]["bias"].astype(dt)
-
-        m = cfg.pos_embed_max_size
-        top, left = (m - gh) // 2, (m - gw) // 2
-        pos2d = head["pos_embed"].reshape(m, m, dim)[top : top + gh, left : left + gw]
-        tokens = tokens + pos2d.reshape(1, gh * gw, dim).astype(dt)
-
-        tt = head["time_text_embed"]
-        te = timestep_embedding(t, 256, cos_first=True).astype(dt)
-        te = _dense(tt["timestep_dense_1"], jax.nn.silu(_dense(tt["timestep_dense_0"], te, dt)), dt)
-        pe = _dense(tt["text_dense_1"], jax.nn.silu(_dense(tt["text_dense_0"], pooled, dt)), dt)
-        if te.shape[0] == 1 and pe.shape[0] > 1:
-            te = jnp.broadcast_to(te, pe.shape)
-        temb = te + pe
-        ctx = _dense(head["context_embedder"], ehs, dt)
-        return tokens, ctx, temb
+        return mmdit_embed(self.cfg, head, x, t, ehs, pooled)
 
     def _final_impl(self, head, h, temb, gh, gw):
-        cfg = self.cfg
-        b, pp, c = h.shape[0], cfg.patch_size, cfg.out_channels
-        mod = _dense(head["norm_out_linear"], jax.nn.silu(temb), cfg.dtype)
-        sc, sh = jnp.split(mod[:, None, :], 2, axis=-1)
-        h = _ln(h).astype(cfg.dtype) * (1 + sc) + sh
-        h = _dense(head["proj_out"], h, cfg.dtype)
-        h = h.reshape(b, gh, gw, pp, pp, c).transpose(0, 1, 3, 2, 4, 5)
-        return h.reshape(b, gh * pp, gw * pp, c).astype(jnp.float32)
+        return mmdit_final(self.cfg, head, h, temb, gh, gw)
 
     def __call__(self, x, t, encoder_hidden_states, pooled_projections):
         cfg = self.cfg
@@ -281,6 +250,48 @@ class StreamedMMDiT:
                 h.block_until_ready()
         pp = cfg.patch_size
         return self._final(self.head, h, temb, hh // pp, ww // pp)
+
+
+def mmdit_embed(cfg, head, x, t, ehs, pooled):
+    """MMDiT embedding stage as a pure function of the head param dict
+    (models/mmdit.py:208-229 semantics) — shared by the streamed executor and
+    the pipeline-parallel forward (parallel/pp.py::mmdit_pipeline_forward)."""
+    b, hh, ww, c = x.shape
+    pp, dim, dt = cfg.patch_size, cfg.dim, cfg.dtype
+    gh, gw = hh // pp, ww // pp
+    # stride-p VALID patch conv == unfold + dense on [p, p, c] patches
+    patches = (
+        x.reshape(b, gh, pp, gw, pp, c).transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, pp * pp * c)
+    )
+    k = head["patch_embed"]["kernel"].reshape(pp * pp * c, dim)
+    tokens = patches.astype(dt) @ k.astype(dt) + head["patch_embed"]["bias"].astype(dt)
+
+    m = cfg.pos_embed_max_size
+    top, left = (m - gh) // 2, (m - gw) // 2
+    pos2d = head["pos_embed"].reshape(m, m, dim)[top : top + gh, left : left + gw]
+    tokens = tokens + pos2d.reshape(1, gh * gw, dim).astype(dt)
+
+    tt = head["time_text_embed"]
+    te = timestep_embedding(t, 256, cos_first=True).astype(dt)
+    te = _dense(tt["timestep_dense_1"], jax.nn.silu(_dense(tt["timestep_dense_0"], te, dt)), dt)
+    pe = _dense(tt["text_dense_1"], jax.nn.silu(_dense(tt["text_dense_0"], pooled, dt)), dt)
+    if te.shape[0] == 1 and pe.shape[0] > 1:
+        te = jnp.broadcast_to(te, pe.shape)
+    temb = te + pe
+    ctx = _dense(head["context_embedder"], ehs, dt)
+    return tokens, ctx, temb
+
+
+def mmdit_final(cfg, head, h, temb, gh, gw):
+    """MMDiT output head (AdaLN-Continuous + linear + unpatchify) as a pure
+    function of the head param dict (models/mmdit.py:238-246 semantics)."""
+    b, pp, c = h.shape[0], cfg.patch_size, cfg.out_channels
+    mod = _dense(head["norm_out_linear"], jax.nn.silu(temb), cfg.dtype)
+    sc, sh = jnp.split(mod[:, None, :], 2, axis=-1)
+    h = _ln(h).astype(cfg.dtype) * (1 + sc) + sh
+    h = _dense(head["proj_out"], h, cfg.dtype)
+    h = h.reshape(b, gh, gw, pp, pp, c).transpose(0, 1, 3, 2, 4, 5)
+    return h.reshape(b, gh * pp, gw * pp, c).astype(jnp.float32)
 
 
 def _eval_shape_tree(module, *args, method=None):

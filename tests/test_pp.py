@@ -99,3 +99,26 @@ def test_pipeline_mmdit_joint_blocks():
         ref_h, ref_c = block.apply({"params": params[f"block_{i}"]}, ref_h, ref_c, temb)
     np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref_h), rtol=1e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c), rtol=1e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("num_layers", [9, 8])
+def test_mmdit_pipeline_forward_matches_apply(num_layers):
+    """Full MMDiT forward with the middle blocks pipelined over 4 stages ==
+    the plain apply. num_layers=9 -> 8 middle blocks (clean division);
+    num_layers=8 -> 7 middle (4 pipelined + 3 replicated remainder)."""
+    from diffusion_uncertainty_tpu.models.mmdit import MMDiT, MMDiTConfig
+    from diffusion_uncertainty_tpu.parallel.pp import mmdit_pipeline_forward
+
+    cfg = dataclasses.replace(MMDiTConfig.tiny(), num_layers=num_layers)
+    model = MMDiT(cfg)
+    b, s_txt = 4, 6
+    x = jax.random.normal(jax.random.key(0), (b, cfg.sample_size, cfg.sample_size, cfg.in_channels))
+    t = jnp.asarray([10.0, 200.0, 500.0, 900.0])
+    ehs = jax.random.normal(jax.random.key(1), (b, s_txt, cfg.joint_attention_dim))
+    pooled = jax.random.normal(jax.random.key(2), (b, cfg.pooled_projection_dim))
+    params = model.init(jax.random.key(3), x, t, ehs, pooled)
+
+    ref = model.apply(params, x, t, ehs, pooled)
+    mesh = make_pp_mesh(4)
+    out = mmdit_pipeline_forward(cfg, params, x, t, ehs, pooled, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
