@@ -1,0 +1,161 @@
+"""Reference-math oracles for the paper's Table-2 metrics (AUSE, P&R).
+
+Feeds IDENTICAL arrays to the reference's importable torch/numpy metric code
+(``/root/reference/diffusion_uncertainty/metrics/ause.py:82-146`` and
+``metrics/precision_recall.py:194-282``) and to the TPU implementations, and
+asserts agreement to f32/f64 roundoff — closing the last unoracled math
+(VERDICT r3 item 3).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from diffusion_uncertainty_tpu.metrics.ause import (
+    ause_aurg_from_curves,
+    compute_aucs,
+    sparsification_curves_fast,
+)
+from diffusion_uncertainty_tpu.metrics.precision_recall import precision_recall
+from diffusion_uncertainty_tpu.utils.activation_diff import (
+    import_reference,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+
+def _import_reference_pr():
+    """Import the reference precision_recall module, stubbing the `path` and
+    `torchvision` packages it imports at module scope but that the kNN math
+    (compute_pairwise_distances/distances2radii/compute_metric) never touches."""
+    if "path" not in sys.modules:
+        path_stub = types.ModuleType("path")
+
+        class _Path(str):  # only .walkfiles is used, and only by ImageFolder
+            def walkfiles(self, pat):
+                return []
+
+        path_stub.Path = _Path
+        sys.modules["path"] = path_stub
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.Compose = lambda *a, **k: None
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+        sys.modules["torchvision.transforms"] = tv.transforms
+    return import_reference("metrics.precision_recall")
+
+
+def test_ause_exact_matches_reference_compute_aucs():
+    """Same arrays through reference compute_aucs and ours: AUSE/AURG and all
+    three curves must agree to f64 roundoff (both are numpy percentile-mask
+    implementations; reference ``metrics/ause.py:91-146``)."""
+    ref = import_reference("metrics.ause")
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0.5, 2.0, size=(4, 32, 32)).astype(np.float64)
+    pred = gt + rng.normal(0, 0.3, size=gt.shape)
+    # uncertainty correlated with |error| + noise, so curves are non-trivial
+    uncert = np.abs(gt - pred) + rng.uniform(0, 0.1, size=gt.shape)
+
+    ref_aucs, ref_curves = ref.compute_aucs(gt, pred, uncert, intervals=50)
+    our_aucs, our_curves = compute_aucs(gt, pred, uncert, intervals=50)
+
+    for m in ("rmse",):
+        np.testing.assert_allclose(our_aucs[m], ref_aucs[m], rtol=1e-12, atol=1e-12)
+        for ci in range(3):  # opt, rnd, sparse
+            np.testing.assert_allclose(
+                np.asarray(our_curves[m][ci], np.float64),
+                np.asarray(ref_curves[m][ci], np.float64),
+                rtol=1e-12,
+                atol=1e-12,
+            )
+
+
+def test_ause_reference_vs_fast_curves():
+    """The TPU sort+cumsum fast path vs the reference's percentile-mask AUSE:
+    identical arrays, AUSE/AURG within the documented ~1/N interpolation gap."""
+    import jax.numpy as jnp
+
+    ref = import_reference("metrics.ause")
+    rng = np.random.default_rng(1)
+    n = 64 * 64
+    gt = rng.uniform(0.5, 2.0, size=n).astype(np.float32)
+    pred = (gt + rng.normal(0, 0.25, size=n)).astype(np.float32)
+    uncert = (np.abs(gt - pred) + rng.uniform(0, 0.05, size=n)).astype(np.float32)
+
+    ref_aucs, _ = ref.compute_aucs(
+        gt.astype(np.float64), pred.astype(np.float64), uncert.astype(np.float64)
+    )
+    opt, rnd, sparse = sparsification_curves_fast(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(uncert)
+    )
+    ause, aurg = ause_aurg_from_curves(
+        np.asarray(opt), np.asarray(rnd), np.asarray(sparse)
+    )
+    assert abs(ause - ref_aucs["rmse"][0]) < 5e-3
+    assert abs(aurg - ref_aucs["rmse"][1]) < 5e-3
+
+
+def test_ause_intervals_20_matches_reference():
+    ref = import_reference("metrics.ause")
+    rng = np.random.default_rng(2)
+    gt = rng.uniform(1.0, 3.0, size=500)
+    pred = gt + rng.normal(0, 0.5, size=500)
+    uncert = rng.uniform(0, 1, size=500)  # uninformative uncertainty
+    ref_aucs, _ = ref.compute_aucs(gt, pred, uncert, intervals=20)
+    our_aucs, _ = compute_aucs(gt, pred, uncert, intervals=20)
+    np.testing.assert_allclose(our_aucs["rmse"], ref_aucs["rmse"], rtol=1e-12, atol=1e-12)
+
+
+def _reference_precision_recall(ref_pr, real: np.ndarray, gen: np.ndarray, k: int = 3):
+    """Drive the reference kNN manifold math exactly as IPR.precision_and_recall
+    does (``precision_recall.py:54-70``), bypassing the VGG16 feature extractor."""
+    import torch
+
+    d_real = ref_pr.compute_pairwise_distances(real)
+    radii_real = ref_pr.distances2radii(d_real, k=k)
+    # IPR.precision_and_recall torch-ifies manifolds (precision_recall.py:65-67)
+    manifold_real = ref_pr.Manifold(torch.from_numpy(real), torch.from_numpy(radii_real))
+    d_gen = ref_pr.compute_pairwise_distances(gen)
+    radii_gen = ref_pr.distances2radii(d_gen, k=k)
+    manifold_gen = ref_pr.Manifold(torch.from_numpy(gen), torch.from_numpy(radii_gen))
+    precision = ref_pr.compute_metric(manifold_real, torch.from_numpy(gen))
+    recall = ref_pr.compute_metric(manifold_gen, torch.from_numpy(real))
+    return float(precision), float(recall)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_precision_recall_matches_reference_knn(k):
+    """Identical feature arrays through the reference's numpy/torch kNN
+    manifold and the MXU-tiled implementation: exact same counts."""
+    ref_pr = _import_reference_pr()
+    rng = np.random.default_rng(3)
+    real = rng.normal(0, 1, size=(96, 16)).astype(np.float64)
+    # overlapping but shifted generated distribution -> fractional P/R
+    gen = rng.normal(0.6, 1.1, size=(80, 16)).astype(np.float64)
+
+    ref_p, ref_r = _reference_precision_recall(ref_pr, real, gen, k=k)
+    ours = precision_recall(real, gen, k=k)
+    assert ours.precision == pytest.approx(ref_p, abs=1e-6)
+    assert ours.recall == pytest.approx(ref_r, abs=1e-6)
+
+
+def test_precision_recall_matches_reference_tiled():
+    """Tile boundary handling: tile smaller than N must not change counts."""
+    ref_pr = _import_reference_pr()
+    rng = np.random.default_rng(4)
+    real = rng.normal(0, 1, size=(70, 8)).astype(np.float64)
+    gen = rng.normal(0.4, 0.9, size=(55, 8)).astype(np.float64)
+    ref_p, ref_r = _reference_precision_recall(ref_pr, real, gen, k=3)
+    ours = precision_recall(real, gen, k=3, tile=16)
+    assert ours.precision == pytest.approx(ref_p, abs=1e-6)
+    assert ours.recall == pytest.approx(ref_r, abs=1e-6)
