@@ -362,15 +362,23 @@ def _winograd_impl(x, w, b, res, has_res):
 
 
 def _reference_conv(x, w, b, res):
+    # f32 MXU accumulation, but the convert to the activation dtype happens
+    # IMMEDIATELY so it fuses into the conv epilogue: an f32 bias/residual
+    # chain makes XLA materialize f32 copies of the whole activation in HBM
+    # (805MB at ADM-128 b48 per 128² site) AND breaks the free bitcast between
+    # the conv's NHWC{3,0,2,1} output and the GN kernel's HWNC{3,2,1,0} view
+    # (identical bytes only at identical dtype) — profiled ~10 ms/fwd on the
+    # b48 loop. In f32 models every astype here is a no-op, so the reference
+    # oracles (run at f32) are unchanged.
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-    )
-    out = out + b.astype(jnp.float32)
+    ).astype(x.dtype)
+    out = out + b.astype(out.dtype)
     if res is not None:
-        out = out + res.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + res.astype(out.dtype)
+    return out
 
 
 def _make_vmapped(has_res):

@@ -91,6 +91,7 @@ def main():
     groups = collections.Counter()
     total = 0.0
     per_op = collections.Counter()
+    per_op_bucket = {}
     for plane in xs.planes:
         if plane.name != "/device:TPU:0":
             continue
@@ -114,21 +115,31 @@ def main():
                 per_op[name] += dur
                 n = name.lower()
                 if "flash_attention" in n:
-                    groups["pallas_attention"] += dur
+                    bucket = "pallas_attention"
                 elif cat == "custom-call":
-                    groups["pallas_gn"] += dur
+                    bucket = "pallas_gn"
                 elif cat == "convolution fusion":
-                    groups["conv_fusion"] += dur
+                    bucket = "conv_fusion"
                 elif cat in ("data formatting",) or "transpose" in n or "copy" in (cat or ""):
-                    groups["layout/copy"] += dur
+                    bucket = "layout/copy"
                 else:
-                    groups[cat or "other"] += dur
+                    bucket = cat or "other"
+                groups[bucket] += dur
+                per_op_bucket.setdefault(bucket, collections.Counter())[name] += dur
     print(f"\ntotal device time over 3 fwd: {total*1e3:.1f} ms ({total/3*1e3:.1f}/fwd)")
     for k, v in groups.most_common():
         print(f"  {k:20s} {v/3*1e3:8.2f} ms/fwd")
-    print("\ntop 25 ops:")
-    for name, v in per_op.most_common(25):
-        print(f"  {v/3*1e3:8.3f} ms  {name[:110]}")
+    print("\ntop 40 ops:")
+    for name, v in per_op.most_common(40):
+        print(f"  {v/3*1e3:8.3f} ms  {name[:130]}")
+    print("\nper-bucket top ops:")
+    for bucket in ("loop fusion", "layout/copy", "broadcast", "non-fusion elementwise", "pallas_gn"):
+        members = per_op_bucket.get(bucket)
+        if not members:
+            continue
+        print(f"  [{bucket}]")
+        for name, v in members.most_common(8):
+            print(f"    {v/3*1e3:8.3f} ms  {name[:120]}")
 
 
 if __name__ == "__main__":
