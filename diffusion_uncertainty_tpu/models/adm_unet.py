@@ -229,12 +229,19 @@ class ResBlock(nn.Module):
         if split is None:
             h = group_norm_silu(x, gamma, beta)
             if self.up:
-                h = nearest_upsample(h)
+                # sub-pixel fused upsample+conv (ops/fused_upsample.py): same
+                # math as conv3x3(nearest_upsample(h)) with 2.25x fewer MACs
+                # and no materialized upsampled tensor; the 1x1 skip conv
+                # commutes with nearest upsampling so it runs at LOW res too
+                h = Conv3x3(self.out_channels, dtype=self.dtype, up2=True, name="in_conv")(h)
+                if c_in != self.out_channels:
+                    x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
                 x = nearest_upsample(x)
-            elif self.down:
-                h = avg_pool_2x(h)
-                x = avg_pool_2x(x)
-            h = conv(self.out_channels, "in_conv")(h)
+            else:
+                if self.down:
+                    h = avg_pool_2x(h)
+                    x = avg_pool_2x(x)
+                h = conv(self.out_channels, "in_conv")(h)
         else:
             c1, c2, gs = split
             h_a = group_norm_silu(x, gamma[:c1], beta[:c1], num_groups=c1 // gs)
@@ -260,7 +267,7 @@ class ResBlock(nn.Module):
         # residual path first, so the add fuses into out_conv's epilogue
         if split is not None:
             x = _SplitInputConv(self.out_channels, 1, dtype=self.dtype, name="skip")(x, skip)
-        elif c_in != self.out_channels:
+        elif c_in != self.out_channels and not self.up:  # up applied it pre-upsample
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
         return conv(self.out_channels, "out_conv", zeros_init())(h, res=x)
 
@@ -282,10 +289,10 @@ class _Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nearest_upsample(x)
         if self.use_conv:
-            x = Conv3x3(x.shape[-1], dtype=self.dtype, name="op")(x)
-        return x
+            # fused sub-pixel upsample+conv (ops/fused_upsample.py)
+            return Conv3x3(x.shape[-1], dtype=self.dtype, up2=True, name="op")(x)
+        return nearest_upsample(x)
 
 
 class ADMUNet(nn.Module):

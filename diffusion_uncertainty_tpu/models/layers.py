@@ -120,7 +120,11 @@ class GroupNorm32(nn.Module):
 
 
 def nearest_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """Nearest-neighbour ×factor spatial upsample (NHWC)."""
+    """Nearest-neighbour ×factor spatial upsample (NHWC).
+
+    (An interior-pad+add formulation was A/B'd on chip: XLA does NOT fuse
+    interior pads — the pad bucket grew 4.5 ms/fwd on the ADM-128 b48 loop —
+    so the broadcast+reshape form stays.)"""
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
     return x.reshape(b, h * factor, w * factor, c)
@@ -151,6 +155,10 @@ class Conv3x3(nn.Module):
     features: int
     dtype: Dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
+    # fuse a nearest-2x upsample INTO the conv (sub-pixel phase decomposition,
+    # ops/fused_upsample.py): same math as conv3x3(nearest_upsample(x)) with
+    # 2.25x fewer MACs and no materialized upsampled tensor
+    up2: bool = False
 
     @nn.compact
     def __call__(self, x, res=None):
@@ -161,6 +169,11 @@ class Conv3x3(nn.Module):
         ).astype(self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         x = x.astype(self.dtype)
+        if self.up2:
+            assert res is None, "up2 conv has no fused residual epilogue"
+            from ..ops.fused_upsample import conv3x3_nearest_up2
+
+            return conv3x3_nearest_up2(x, kernel, bias.astype(self.dtype))
         return conv3x3_winograd(
             x, kernel, bias.astype(self.dtype), None if res is None else res.astype(self.dtype)
         )

@@ -245,8 +245,8 @@ class SDUNet(nn.Module):
                 if btype == "CrossAttnUpBlock2D":
                     h = transformer(n_levels - 1 - bi, f"up_{bi}_attn_{li}")(h, ctx)
             if bi != len(cfg.up_block_types) - 1:
-                h = nearest_upsample(h)
-                h = Conv3x3(out_ch, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
+                # fused sub-pixel upsample+conv (ops/fused_upsample.py)
+                h = Conv3x3(out_ch, dtype=cfg.dtype, up2=True, name=f"up_{bi}_upsample")(h)
 
         h = group_norm_silu(
             h,

@@ -214,8 +214,8 @@ class UNet2D(nn.Module):
                         name=f"up_{bi}_attn_{li}",
                     )(h)
             if bi != len(cfg.up_block_types) - 1:
-                h = nearest_upsample(h)
-                h = Conv3x3(out_ch, dtype=cfg.dtype, name=f"up_{bi}_upsample")(h)
+                # fused sub-pixel upsample+conv (ops/fused_upsample.py)
+                h = Conv3x3(out_ch, dtype=cfg.dtype, up2=True, name=f"up_{bi}_upsample")(h)
 
         h = group_norm_silu(
             h,

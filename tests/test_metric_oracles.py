@@ -34,7 +34,17 @@ pytestmark = pytest.mark.skipif(
 def _import_reference_pr():
     """Import the reference precision_recall module, stubbing the `path` and
     `torchvision` packages it imports at module scope but that the kNN math
-    (compute_pairwise_distances/distances2radii/compute_metric) never touches."""
+    (compute_pairwise_distances/distances2radii/compute_metric) never touches.
+
+    The stubs are removed from sys.modules afterwards (the reference module
+    keeps its own references): a lingering half-stubbed torchvision breaks
+    later tests that import transformers in the same process."""
+    already = import_reference.__module__ and sys.modules.get(
+        "diffusion_uncertainty.metrics.precision_recall"
+    )
+    if already is not None:
+        return already
+    stubbed = []
     if "path" not in sys.modules:
         path_stub = types.ModuleType("path")
 
@@ -44,6 +54,7 @@ def _import_reference_pr():
 
         path_stub.Path = _Path
         sys.modules["path"] = path_stub
+        stubbed.append("path")
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tv.models = types.ModuleType("torchvision.models")
@@ -52,7 +63,12 @@ def _import_reference_pr():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.models"] = tv.models
         sys.modules["torchvision.transforms"] = tv.transforms
-    return import_reference("metrics.precision_recall")
+        stubbed.extend(["torchvision", "torchvision.models", "torchvision.transforms"])
+    try:
+        return import_reference("metrics.precision_recall")
+    finally:
+        for name in stubbed:
+            sys.modules.pop(name, None)
 
 
 def test_ause_exact_matches_reference_compute_aucs():

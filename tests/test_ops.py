@@ -280,3 +280,66 @@ def test_group_norm_gradient_matches_reference():
     ref = jax.grad(loss(False), argnums=(0, 1, 2))(x, g, b)
     for a_, r_ in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(r_), rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_nearest_up2_matches_naive():
+    """Sub-pixel phase decomposition (ops/fused_upsample.py) == conv3x3 over
+    the materialized nearest-2x upsample, SAME padding, to f32 roundoff."""
+    from diffusion_uncertainty_tpu.models.layers import nearest_upsample
+    from diffusion_uncertainty_tpu.ops.fused_upsample import (
+        conv3x3_nearest_up2,
+        upsample2_conv1x1,
+    )
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 5, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+
+    got = conv3x3_nearest_up2(x, w, b)
+    ref = (
+        jax.lax.conv_general_dilated(
+            nearest_upsample(x), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b
+    )
+    assert got.shape == (2, 12, 10, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    w1 = jnp.asarray(rng.randn(1, 1, 16, 8).astype(np.float32))
+    got1 = upsample2_conv1x1(x, w1, b)
+    ref1 = (
+        jax.lax.conv_general_dilated(
+            nearest_upsample(x), w1, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b
+    )
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_nearest_up2_gradient():
+    """Pure-XLA fused form must autodiff identically to the naive form."""
+    from diffusion_uncertainty_tpu.models.layers import nearest_upsample
+    from diffusion_uncertainty_tpu.ops.fused_upsample import conv3x3_nearest_up2
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(1, 4, 4, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32))
+    b = jnp.zeros((8,), jnp.float32)
+
+    def f_fused(xx, ww):
+        return jnp.sum(jnp.tanh(conv3x3_nearest_up2(xx, ww, b)))
+
+    def f_naive(xx, ww):
+        y = jax.lax.conv_general_dilated(
+            nearest_upsample(xx), ww, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.sum(jnp.tanh(y))
+
+    gx, gw = jax.grad(f_fused, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(f_naive, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-5)
