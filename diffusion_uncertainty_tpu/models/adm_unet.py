@@ -236,7 +236,9 @@ class ResBlock(nn.Module):
                 h = Conv3x3(self.out_channels, dtype=self.dtype, up2=True, name="in_conv")(h)
                 if c_in != self.out_channels:
                     x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip")(x)
-                x = nearest_upsample(x)
+                from ..ops.fused_upsample import nearest_upsample_2x
+
+                x = nearest_upsample_2x(x)
             else:
                 if self.down:
                     h = avg_pool_2x(h)

@@ -63,10 +63,11 @@ def conv3x3_nearest_up2(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.n
         phases.append(row)
     # interleave: out[:, 2i+a, 2j+bb] = phases[a][bb][:, i, j].
     # (An interior-pad+add interleave was A/B'd on chip and LOST — XLA does
-    # not fuse interior pads; the pad bucket grew to 17.8 ms/fwd. The
-    # stack+transpose costs one re-tiling copy but nets out faster.)
-    ys = jnp.stack([jnp.stack(r, axis=0) for r in phases], axis=0)  # [2,2,N,H,W,K]
-    out = ys.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, k)
+    # not fuse interior pads; the pad bucket grew to 17.8 ms/fwd. The Pallas
+    # kernel below writes the conv-native layout directly; its XLA fallback
+    # is the stack+transpose, which costs one re-tiling copy.)
+    del n, h, wd, k
+    out = interleave_phases_2x(phases[0][0], phases[0][1], phases[1][0], phases[1][1])
     return out + b.astype(out.dtype)
 
 
@@ -74,11 +75,131 @@ def upsample2_conv1x1(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.nda
     """``conv1x1(nearest_upsample_2x(x), w) + b`` == upsample(conv1x1(x)):
     a 1x1 conv commutes with nearest upsampling, so run it at the LOW
     resolution (4× fewer MACs) and upsample the result."""
-    from ..models.layers import nearest_upsample
-
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     y = y + b.astype(y.dtype)
-    return nearest_upsample(y)
+    return nearest_upsample_2x(y)
+
+
+# ---------------------------------------------------------------------------
+# Pallas phase-interleave / nearest-upsample writing the conv-native layout
+# ---------------------------------------------------------------------------
+#
+# XLA materializes a re-tiling copy both for the phase interleave above
+# (stack+transpose, ~1.2 ms at the 128² ADM b48 site) and for the skip-path
+# nearest_upsample (broadcast+copy, ~2 ms). Both are pure row/col placements
+# in the conv-native [H, W, N, C] view (the transpose from NHWC{3,0,2,1} is a
+# bitcast), so one Pallas kernel can write the final layout directly:
+# out[2i+a, 2j+b] = y_ab[i, j] with the duplications/interleavings done on
+# the OUTER dims of VMEM blocks (N, C stay minor).
+
+import functools as _functools
+import os as _os
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ILV_BLOCK = int(_os.environ.get("DU_TPU_ILV_BLOCK", 512 * 1024))  # bf16 bytes per in-phase block
+
+
+def _ilv_kernel(y00, y01, y10, y11, o):
+    # y_ab: [th, W, n, c]; o: [2*th, 2*W, n, c]
+    th, wd, n, c = y00.shape
+    row0 = jnp.stack([y00[...], y01[...]], axis=2).reshape(th, 2 * wd, n, c)
+    row1 = jnp.stack([y10[...], y11[...]], axis=2).reshape(th, 2 * wd, n, c)
+    o[...] = jnp.stack([row0, row1], axis=1).reshape(2 * th, 2 * wd, n, c)
+
+
+def _interleave_hwnc_impl(y00, y01, y10, y11):
+    h, wd, n, c = y00.shape
+    # channel tiling first (keeps whole W rows); kc must divide c AND stay a
+    # multiple of 128 (lane-dim tiling constraint)
+    kc = 128
+    for d in range(c, 127, -128):
+        if c % d == 0 and wd * n * d * 2 <= _ILV_BLOCK:
+            kc = d
+            break
+    th = 1
+    while th * 2 <= h and h % (th * 2) == 0 and 2 * th * wd * n * kc * 2 <= _ILV_BLOCK:
+        th *= 2
+    grid = (h // th, c // kc)
+    spec_in = pl.BlockSpec((th, wd, n, kc), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _ilv_kernel,
+        grid=grid,
+        in_specs=[spec_in] * 4,
+        out_specs=pl.BlockSpec(
+            (2 * th, 2 * wd, n, kc), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * h, 2 * wd, n, c), y00.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(y00, y01, y10, y11)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _interleave_nhwc(y00, y01, y10, y11):
+    """[N,H,W,C] x4 -> [N,2H,2W,C] with out[:, 2i+a, 2j+b] = y_ab[:, i, j],
+    written in the conv-native layout (both transposes are bitcasts)."""
+
+    @jax.custom_batching.custom_vmap
+    def call(a, b, cc, d):
+        vs = [v.transpose(1, 2, 0, 3) for v in (a, b, cc, d)]
+        out = _interleave_hwnc_impl(*vs)
+        return out.transpose(2, 0, 1, 3)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, a, b, cc, d):  # noqa: ANN001
+        if not all(in_batched):
+            raise NotImplementedError("interleave vmap needs all operands mapped")
+        fold = lambda v: v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+        out = call(fold(a), fold(b), fold(cc), fold(d))
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return call(y00, y01, y10, y11)
+
+
+def _interleave_nhwc_fwd(y00, y01, y10, y11):
+    return _interleave_nhwc(y00, y01, y10, y11), None
+
+
+def _interleave_nhwc_bwd(_, g):
+    return (g[:, 0::2, 0::2], g[:, 0::2, 1::2], g[:, 1::2, 0::2], g[:, 1::2, 1::2])
+
+
+_interleave_nhwc.defvjp(_interleave_nhwc_fwd, _interleave_nhwc_bwd)
+
+
+def interleave_phases_2x(y00, y01, y10, y11, use_pallas: bool | None = None):
+    """Phase interleave; Pallas on TPU, stack+transpose fallback elsewhere."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.devices()[0].platform == "tpu"
+            and _os.environ.get("DU_TPU_PALLAS_ILV", "1") != "0"
+            and y00.shape[0] % 8 == 0  # N rides the sublane dim
+            and y00.shape[-1] % 128 == 0
+        )
+    if use_pallas:
+        return _interleave_nhwc(y00, y01, y10, y11)
+    n, h, wd, k = y00.shape
+    ys = jnp.stack([jnp.stack([y00, y01]), jnp.stack([y10, y11])])
+    return ys.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * wd, k)
+
+
+def nearest_upsample_2x(x: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
+    """Nearest-2x upsample == interleaving four copies of x; the Pallas path
+    writes the conv-native layout directly (the XLA broadcast+reshape lowers
+    to a broadcast PLUS a ~2 ms re-tiling copy at the 128² ADM b48 site)."""
+    if use_pallas is None:
+        use_pallas = (
+            jax.devices()[0].platform == "tpu"
+            and _os.environ.get("DU_TPU_PALLAS_ILV", "1") != "0"
+            and x.shape[0] % 8 == 0
+            and x.shape[-1] % 128 == 0
+        )
+    if use_pallas:
+        return _interleave_nhwc(x, x, x, x)
+    from ..models.layers import nearest_upsample
+
+    return nearest_upsample(x)

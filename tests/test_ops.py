@@ -343,3 +343,35 @@ def test_conv3x3_nearest_up2_gradient():
     rx, rw = jax.grad(f_naive, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-5)
+
+
+def test_interleave_phases_pallas_matches_xla():
+    """The Pallas phase-interleave kernel (interpret mode off-TPU) == the
+    stack+transpose interleave, incl. the vmap fold and the upsample case."""
+    from diffusion_uncertainty_tpu.ops.fused_upsample import (
+        interleave_phases_2x,
+        nearest_upsample_2x,
+    )
+    from diffusion_uncertainty_tpu.models.layers import nearest_upsample
+
+    rng = np.random.RandomState(13)
+    ys = [jnp.asarray(rng.randn(8, 4, 6, 128).astype(np.float32)) for _ in range(4)]
+    got = interleave_phases_2x(*ys, use_pallas=True)
+    ref = interleave_phases_2x(*ys, use_pallas=False)
+    assert got.shape == (8, 8, 12, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=0)
+
+    x = jnp.asarray(rng.randn(8, 4, 4, 128).astype(np.float32))
+    up = nearest_upsample_2x(x, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(nearest_upsample(x)), rtol=0, atol=0)
+
+    # vmap folds the mapped axis into N
+    ysv = [jnp.asarray(rng.randn(3, 8, 4, 6, 128).astype(np.float32)) for _ in range(4)]
+    gotv = jax.vmap(lambda a, b, c, d: interleave_phases_2x(a, b, c, d, use_pallas=True))(*ysv)
+    refv = jax.vmap(lambda a, b, c, d: interleave_phases_2x(a, b, c, d, use_pallas=False))(*ysv)
+    np.testing.assert_allclose(np.asarray(gotv), np.asarray(refv), rtol=0, atol=0)
+
+    # VJP: strided-slice cotangents; upsample grad sums the 4 phases
+    g = jax.grad(lambda xx: jnp.sum(jnp.sin(nearest_upsample_2x(xx, use_pallas=True))))(x)
+    r = jax.grad(lambda xx: jnp.sum(jnp.sin(nearest_upsample(xx))))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6)
