@@ -236,6 +236,148 @@ def run_uvit(batch: int = 64) -> dict:
     }
 
 
+def _materialize_bf16(model, init_args):
+    """Random-init params with f32 leaves cast to bf16 (shared bench helper)."""
+    shapes = jax.eval_shape(lambda k: model.init(k, *init_args), jax.random.key(0))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def materialize(key):
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(
+            treedef,
+            [
+                (0.02 * jax.random.normal(k, s.shape, s.dtype)).astype(
+                    jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype
+                )
+                for k, s in zip(keys, leaves)
+            ],
+        )
+
+    return materialize(jax.random.key(0))
+
+
+def run_cifar10(batch: int = 512) -> dict:
+    """BASELINE.json config 1: CIFAR-10 32×32 DDPM 50-step sampling with
+    MC-dropout M=5 uncertainty maps (reference
+    ``generate_dataset_score_uncertainty_cifar10.py`` protocol: HF
+    ddpm-cifar10-32 with the dropout override, ``init_model.py:160-179``)."""
+    from diffusion_uncertainty_tpu.models import UNet2D, UNet2DConfig
+
+    cfg_m = dataclasses.replace(UNet2DConfig.ddpm_cifar10(dropout=0.1), dtype=jnp.bfloat16)
+    model = UNet2D(cfg_m)
+    x = jnp.zeros((batch, 32, 32, 3), jnp.bfloat16)
+    t = jnp.asarray(500, jnp.int32)
+    log(f"[cifar10] initializing ({batch=})...")
+    params = _materialize_bf16(model, (x, t, None))
+    log(f"[cifar10] params: {sum(p.size for p in jax.tree.leaves(params))/1e6:.1f}M")
+
+    def model_fn_of(p):
+        # mc_dropout consumes the key as the dropout rng (factory apply_fn_dropout)
+        return lambda xx, tt, key: model.apply(
+            p, xx, tt, None, deterministic=False, rngs={"dropout": key}
+        )
+
+    fwd = jax.jit(lambda p, xx: model.apply(p, xx, t, None))
+    cost = fwd.lower(params, x).cost_analysis() or {}
+    flops_fwd = float(cost.get("flops", 0.0)) / batch
+    log(f"[cifar10] forward: {flops_fwd/1e9:.1f} GFLOP/image")
+
+    schedule = make_schedule("linear", 1000)
+    scfg = SamplerConfig(num_inference_steps=STEPS, after_step=AFTER_STEP, num_steps_uc=NUM_STEPS_UC)
+    est = make_estimator(EstimatorConfig(name="mc_dropout", M=M))
+    sample_jit = jax.jit(
+        lambda p, xT, key: sample_ddim(model_fn_of(p), schedule, xT, key, scfg, estimator=est),
+        donate_argnums=(1,),
+    )
+
+    def new_x(i):
+        return jax.random.normal(jax.random.key(50 + i), (batch, 32, 32, 3), jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    res = sample_jit(params, new_x(0), jax.random.key(4))
+    jax.block_until_ready(res.sample)
+    log(f"[cifar10] compile+first run: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = sample_jit(params, new_x(i + 1), jax.random.key(60 + i))
+        float(jnp.sum(res.sample[0, 0, 0]))  # host readback: see run_config
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = batch / best
+    forwards = STEPS + NUM_STEPS_UC * M
+    tflops = forwards * flops_fwd * imgs_per_sec / 1e12
+    log(f"[cifar10] batch {batch}: {best:.2f}s -> {imgs_per_sec:.2f} imgs/sec/chip ({tflops:.1f} TFLOP/s)")
+    return {
+        "cifar10_mcdropout_imgs_per_sec_chip": round(imgs_per_sec, 3),
+        "cifar10_sustained_tflops": round(tflops, 2),
+    }
+
+
+def run_sd3(batch: int = 4, steps: int = 16) -> dict:
+    """BASELINE.json config 5 representative: SD3-medium (2.08B bf16) guided
+    flow-match sampling at 512px latents — 16 steps, CFG double-batch, M=2
+    posterior-guided window on the back half, via the stepwise sampler (one
+    compiled forward; whole-loop compiles of 2B+ models take ~15 min through
+    the relay — CLAUDE.md)."""
+    from diffusion_uncertainty_tpu.diffusion.flow_match import (
+        FlowMatchConfig,
+        sample_flow_match_stepwise,
+    )
+    from diffusion_uncertainty_tpu.models import MMDiT, MMDiTConfig
+
+    cfg_m = dataclasses.replace(MMDiTConfig.sd3_medium(), dtype=jnp.bfloat16)
+    model = MMDiT(cfg_m)
+    lat = 64  # 512px / 8
+    x = jnp.zeros((batch, lat, lat, cfg_m.in_channels), jnp.bfloat16)
+    ctx = jnp.zeros((2 * batch, 77, cfg_m.joint_attention_dim), jnp.bfloat16)
+    pooled = jnp.zeros((2 * batch, cfg_m.pooled_projection_dim), jnp.bfloat16)
+    log(f"[sd3] initializing ({batch=}, {steps=} steps)...")
+    params = _materialize_bf16(
+        model, (x[:1], jnp.asarray(500.0), ctx[:1], pooled[:1])
+    )
+    log(f"[sd3] params: {sum(p.size for p in jax.tree.leaves(params))/1e9:.2f}B")
+    guidance_scale = 7.0
+
+    vjit = jax.jit(
+        lambda p, xx, tt: model.apply(
+            p, jnp.concatenate([xx, xx]), tt, ctx, pooled
+        )
+    )
+
+    def vf_of(p):
+        def vf(xx, tt, key):
+            both = vjit(p, xx, tt)
+            uncond, cond = jnp.split(both, 2)
+            return uncond + guidance_scale * (cond - uncond)
+
+        return vf
+
+    fm = FlowMatchConfig(
+        num_inference_steps=steps, shift=3.0,
+        after_step=steps // 2, num_steps_uc=steps // 2, M=2, use_posterior=True,
+    )
+
+    def new_x(i):
+        return jax.random.normal(jax.random.key(70 + i), x.shape, jnp.bfloat16)
+
+    t0 = time.perf_counter()
+    res = sample_flow_match_stepwise(vf_of(params), new_x(0), jax.random.key(5), fm)
+    jax.block_until_ready(res.sample)
+    log(f"[sd3] compile+first run: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        res = sample_flow_match_stepwise(vf_of(params), new_x(i + 1), jax.random.key(80 + i), fm)
+        float(jnp.sum(res.sample[0, 0, 0]))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    imgs_per_sec = batch / best
+    log(f"[sd3] batch {batch}: {best:.2f}s -> {imgs_per_sec:.3f} imgs/sec/chip")
+    return {"sd3_medium_guided_imgs_per_sec_chip": round(imgs_per_sec, 3)}
+
+
 _CONFIGS = {
     # tag -> (model_channels_override, batch, ensemble_chunk)
     # sequential zigzag members (ensemble_chunk=1) cap the live batch at the
@@ -264,6 +406,23 @@ def run_single(name: str) -> None:
     the parent isolates each attempt in its own process."""
     if name == "uvit":
         print(json.dumps(run_uvit()))
+        return
+    if name == "cifar10":
+        print(json.dumps(run_cifar10()))
+        return
+    if name == "sd3":
+        print(json.dumps(run_sd3()))
+        return
+    if name == "adm64":
+        cfg = dataclasses.replace(
+            ADMUNetConfig.imagenet64(dropout=0.0), dtype=jnp.bfloat16
+        )
+        out = run_config(cfg, "imagenet64", batch=64, ensemble_chunk=1)
+        # secondary line: fold into the combined JSON under prefixed keys
+        print(json.dumps({
+            "adm64_zigzag_imgs_per_sec_chip": out["value"],
+            "adm64_vs_baseline": out["vs_baseline"],
+        }))
         return
     mc, batch, chunk = _CONFIGS[name]
     cfg = ADMUNetConfig.imagenet128()
@@ -351,11 +510,14 @@ def main() -> None:
             )
         )
         return
-    # secondary metric (VERDICT r1 #6): U-ViT-huge on hardware; its failure
-    # must not cost the headline line
-    extra = _run_child("uvit", timeout=3600)
-    if extra:
-        result.update(extra)
+    # secondary metrics: the full BASELINE.json config matrix (VERDICT r4
+    # #4), each subprocess-isolated; a failure must not cost the headline
+    for extra_name, extra_timeout in (
+        ("uvit", 3600), ("cifar10", 2400), ("adm64", 3600), ("sd3", 3600),
+    ):
+        extra = _run_child(extra_name, timeout=extra_timeout)
+        if extra:
+            result.update(extra)
     print(json.dumps(result))
 
 

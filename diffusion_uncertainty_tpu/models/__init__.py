@@ -14,4 +14,5 @@ from .flux import FluxTransformer, FluxConfig  # noqa: F401
 from .uvit import UViT, UViTConfig  # noqa: F401
 from .autoencoder import AutoencoderKL, AutoencoderKLConfig  # noqa: F401
 from .clip_text import CLIPTextEncoder, CLIPTextConfig, CLIPTextOutput  # noqa: F401
+from .clip_vision import CLIPVisionEncoder, CLIPVisionConfig, CLIPVisionOutput  # noqa: F401
 from .t5_text import T5Encoder, T5Config  # noqa: F401

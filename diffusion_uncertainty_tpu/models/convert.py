@@ -800,3 +800,101 @@ def convert_t5_encoder(state_dict: dict, cfg) -> dict:
         P[f"block_{i}"] = blk
     sd.finish()
     return {"params": P}
+
+
+def convert_clip_vision(state_dict: dict, cfg, prefix: str = "vision_model") -> dict:
+    """transformers ``CLIPVisionModel[WithProjection]`` state dict -> flax
+    ``CLIPVisionEncoder`` params (the safety-checker backbone; the reference
+    constructs it inside diffusers' ``StableDiffusionSafetyChecker``,
+    ``pipeline_stable_diffusion_uncertainty_guided.py:41``)."""
+    sd = _SD(state_dict)
+    P: dict = {
+        "class_embedding": sd.take(f"{prefix}.embeddings.class_embedding"),
+        "patch_embedding": {
+            "kernel": sd.take(f"{prefix}.embeddings.patch_embedding.weight"
+                              ).transpose(2, 3, 1, 0)
+        },
+        "position_embedding": sd.take(f"{prefix}.embeddings.position_embedding.weight"),
+        "pre_layrnorm": _layernorm(sd, f"{prefix}.pre_layrnorm"),
+        "post_layernorm": _layernorm(sd, f"{prefix}.post_layernorm"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{prefix}.encoder.layers.{i}"
+        P[f"layer_{i}"] = {
+            "layer_norm1": _layernorm(sd, f"{b}.layer_norm1"),
+            "layer_norm2": _layernorm(sd, f"{b}.layer_norm2"),
+            "self_attn": {
+                "q_proj": _dense(sd, f"{b}.self_attn.q_proj"),
+                "k_proj": _dense(sd, f"{b}.self_attn.k_proj"),
+                "v_proj": _dense(sd, f"{b}.self_attn.v_proj"),
+                "out_proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            },
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    if getattr(cfg, "projection_dim", 0) > 0:
+        P["visual_projection"] = _dense(sd, "visual_projection", bias=False)
+    sd.sd.pop(f"{prefix}.embeddings.position_ids", None)
+    sd.finish()
+    return {"params": P}
+
+
+def convert_safety_checker(state_dict: dict, cfg):
+    """diffusers ``StableDiffusionSafetyChecker`` state dict (CLIP vision
+    tower under the doubled ``vision_model.vision_model`` prefix + projection
+    + fixed concept/special-care heads) -> ``SafetyCheckerParams``
+    (``pipelines/safety_checker.py``)."""
+    import jax.numpy as jnp
+
+    from ..pipelines.safety_checker import SafetyCheckerParams
+
+    heads = {}
+    tower = {}
+    for k, v in state_dict.items():
+        if k in ("concept_embeds", "special_care_embeds",
+                 "concept_embeds_weights", "special_care_embeds_weights"):
+            heads[k] = np.asarray(v, np.float32)
+        elif k.startswith("vision_model."):
+            tower[k[len("vision_model."):]] = v  # strip the checker's prefix
+        else:
+            tower[k] = v  # visual_projection.weight
+    missing = {"concept_embeds", "special_care_embeds", "concept_embeds_weights",
+               "special_care_embeds_weights"} - set(heads)
+    if missing:
+        raise KeyError(f"safety checker heads missing: {sorted(missing)}")
+    vision = convert_clip_vision(tower, cfg)
+    return SafetyCheckerParams(
+        vision=vision,
+        concept_embeds=jnp.asarray(heads["concept_embeds"]),
+        special_care_embeds=jnp.asarray(heads["special_care_embeds"]),
+        concept_embeds_weights=jnp.asarray(heads["concept_embeds_weights"]),
+        special_care_embeds_weights=jnp.asarray(heads["special_care_embeds_weights"]),
+    )
+
+
+def load_any_state_dict(path) -> Dict[str, np.ndarray]:
+    """File OR diffusers/transformers model dir -> merged {key: f32 ndarray}.
+    Handles torch .bin/.pt/.pth and single/sharded .safetensors (torch
+    loader, not numpy — T2I checkpoints are often bf16)."""
+
+    def _load_st(f):
+        from safetensors.torch import load_file
+
+        return {k: v.float().numpy() for k, v in load_file(f).items()}
+
+    p = Path(path)
+    if p.is_file():
+        return _load_st(p) if p.suffix == ".safetensors" else load_torch_state_dict(p)
+    st_files = sorted(p.glob("*.safetensors"))
+    if st_files:
+        out: Dict[str, np.ndarray] = {}
+        for f in st_files:
+            out.update(_load_st(f))
+        return out
+    bins = sorted(p.glob("*.bin")) + sorted(p.glob("*.pt")) + sorted(p.glob("*.pth"))
+    if not bins:
+        raise FileNotFoundError(f"no weight files under {p}")
+    out = {}
+    for f in bins:
+        out.update(load_torch_state_dict(f))
+    return out

@@ -105,33 +105,59 @@ _ILV_BLOCK = int(_os.environ.get("DU_TPU_ILV_BLOCK", 512 * 1024))  # bf16 bytes 
 
 
 def _ilv_kernel(y00, y01, y10, y11, o):
-    # y_ab: [th, W, n, c]; o: [2*th, 2*W, n, c]
+    # y_ab: [th, tw, n, c]; o: [2*th, 2*tw, n, c]
     th, wd, n, c = y00.shape
     row0 = jnp.stack([y00[...], y01[...]], axis=2).reshape(th, 2 * wd, n, c)
     row1 = jnp.stack([y10[...], y11[...]], axis=2).reshape(th, 2 * wd, n, c)
     o[...] = jnp.stack([row0, row1], axis=1).reshape(2 * th, 2 * wd, n, c)
 
 
-def _interleave_hwnc_impl(y00, y01, y10, y11):
-    h, wd, n, c = y00.shape
-    # channel tiling first (keeps whole W rows); kc must divide c AND stay a
-    # multiple of 128 (lane-dim tiling constraint)
+def _ilv_plan(h, wd, n, c, itemsize):
+    """Pick (th, tw, kc) so one input phase block fits the budget.
+
+    _ILV_BLOCK is the soft target steering kc/th. The HARD cap is 3.5× that
+    (1.75MB at the default): 4 in-blocks + the 4× out-block then total
+    ≤ 14MB, under the 16MB scoped VMEM. The benchmarked ADM-128 b48 site
+    (whole-row blocks of ~1.57MB) stays below the hard cap, so its tiling —
+    and the measured 1.277 imgs/sec — is unchanged; only genuinely oversized
+    W*N sites get W-tiled (or, if even tw=1 busts the cap, return None and
+    let the caller fall back to the XLA stack+reshape instead of OOMing)."""
     kc = 128
     for d in range(c, 127, -128):
-        if c % d == 0 and wd * n * d * 2 <= _ILV_BLOCK:
+        if c % d == 0 and wd * n * d * itemsize <= _ILV_BLOCK:
             kc = d
             break
+    hard = int(3.5 * _ILV_BLOCK)
+    tw = wd  # W-dim tile: whole rows when under the hard cap, halved otherwise
+    while tw * n * kc * itemsize > hard and tw % 2 == 0:
+        tw //= 2
+    if tw * n * kc * itemsize > hard:
+        return None
     th = 1
-    while th * 2 <= h and h % (th * 2) == 0 and 2 * th * wd * n * kc * 2 <= _ILV_BLOCK:
+    while th * 2 <= h and h % (th * 2) == 0 and 2 * th * tw * n * kc * itemsize <= _ILV_BLOCK:
         th *= 2
-    grid = (h // th, c // kc)
-    spec_in = pl.BlockSpec((th, wd, n, kc), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM)
+    return th, tw, kc
+
+
+def _interleave_hwnc_impl(y00, y01, y10, y11):
+    h, wd, n, c = y00.shape
+    plan = _ilv_plan(h, wd, n, c, y00.dtype.itemsize)
+    if plan is None:
+        # oversized W*N site: XLA fallback (one re-tiling copy, but no OOM)
+        row0 = jnp.stack([y00, y01], axis=2).reshape(h, 2 * wd, n, c)
+        row1 = jnp.stack([y10, y11], axis=2).reshape(h, 2 * wd, n, c)
+        return jnp.stack([row0, row1], axis=1).reshape(2 * h, 2 * wd, n, c)
+    th, tw, kc = plan
+    grid = (h // th, wd // tw, c // kc)
+    spec_in = pl.BlockSpec(
+        (th, tw, n, kc), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         _ilv_kernel,
         grid=grid,
         in_specs=[spec_in] * 4,
         out_specs=pl.BlockSpec(
-            (2 * th, 2 * wd, n, kc), lambda i, j: (i, 0, 0, j), memory_space=pltpu.VMEM
+            (2 * th, 2 * tw, n, kc), lambda i, j, k: (i, j, 0, k), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((2 * h, 2 * wd, n, c), y00.dtype),
         interpret=jax.devices()[0].platform != "tpu",

@@ -105,23 +105,28 @@ def encode_prompts_ex(
         # users pre-download to the HF cache or pass local_path.
         tokenizer = CLIPTokenizer.from_pretrained(src, local_files_only=True)
         encoder = CLIPTextModel.from_pretrained(src, local_files_only=True)
-        encoder.eval()
-
-        def enc(texts):
-            tokens = tokenizer(
-                list(texts), padding="max_length", max_length=tokenizer.model_max_length,
-                truncation=True, return_tensors="pt",
-            )
-            with torch.no_grad():
-                return encoder(tokens.input_ids)[0].float().numpy()
-
-        return enc(prompts), enc(negative_prompts), False
-    except Exception:
+    except (ImportError, OSError, TypeError):
+        # construction-time failures only: missing torch/transformers or
+        # missing local weights/vocab (zero egress; TypeError = cached repo
+        # without vocab files). Encoding errors below raise — a real
+        # tokenizer/encoder bug must surface, not silently degrade to
+        # pseudo embeddings.
         return (
             pseudo_text_embeddings(list(prompts)),
             pseudo_text_embeddings(list(negative_prompts)),
             True,
         )
+    encoder.eval()
+
+    def enc(texts):
+        tokens = tokenizer(
+            list(texts), padding="max_length", max_length=tokenizer.model_max_length,
+            truncation=True, return_tensors="pt",
+        )
+        with torch.no_grad():
+            return encoder(tokens.input_ids)[0].float().numpy()
+
+    return enc(prompts), enc(negative_prompts), False
 
 
 # ---------------------------------------------------------------------------
@@ -175,13 +180,18 @@ def _clip_tokenize(prompts, seq_len, local_path=None):
         tok = CLIPTokenizer.from_pretrained(
             local_path or "openai/clip-vit-large-patch14", local_files_only=True
         )
-        enc = tok(list(prompts), padding="max_length", max_length=seq_len,
-                  truncation=True, return_tensors="np")
-        return enc["input_ids"].astype(np.int32), False
-    except Exception:
+    except (ImportError, OSError, TypeError):
+        # construction-time failures only: missing transformers / missing
+        # local vocab files (zero egress). TypeError is transformers' symptom
+        # for a cached repo whose vocab file is absent (vocab_file=None
+        # reaches open()). Tokenization errors below raise — a real tokenizer
+        # bug must never silently degrade to pseudo ids.
         return pseudo_token_ids(
             prompts, seq_len, CLIP_VOCAB, bos=CLIP_VOCAB - 2, eos=CLIP_EOS
         ), True
+    enc = tok(list(prompts), padding="max_length", max_length=seq_len,
+              truncation=True, return_tensors="np")
+    return enc["input_ids"].astype(np.int32), False
 
 
 def _t5_tokenize(prompts, seq_len, local_path=None):
@@ -191,11 +201,35 @@ def _t5_tokenize(prompts, seq_len, local_path=None):
         tok = T5TokenizerFast.from_pretrained(
             local_path or "google/t5-v1_1-xxl", local_files_only=True
         )
-        enc = tok(list(prompts), padding="max_length", max_length=seq_len,
-                  truncation=True, return_tensors="np")
-        return enc["input_ids"].astype(np.int32), False
-    except Exception:
+    except (ImportError, OSError, TypeError, ValueError, AttributeError):
+        # construction-time failures only (missing transformers / vocab files;
+        # TypeError/ValueError/AttributeError are transformers' symptoms for
+        # a cached repo without tokenizer files — e.g. convert_slow_tokenizer
+        # on a None spm model) — tokenization errors below raise
         return pseudo_token_ids(prompts, seq_len, T5_VOCAB, eos=1), True
+    enc = tok(list(prompts), padding="max_length", max_length=seq_len,
+              truncation=True, return_tensors="np")
+    return enc["input_ids"].astype(np.int32), False
+
+
+def _unflatten_npz(path, template):
+    """npz with 'a/b/c'-joined keys -> nested dict shaped like ``template``.
+    Missing or extra keys raise (partial tower weights are never valid)."""
+    import jax
+
+    with np.load(path) as f:
+        flat = {k: f[k] for k in f.files}
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = [
+        "/".join(str(getattr(k, "key", k)) for k in p) for p, _ in paths_leaves
+    ]
+    missing = [k for k in keys if k not in flat]
+    extra = sorted(set(flat) - set(keys))
+    if missing or extra:
+        raise KeyError(
+            f"{path}: key mismatch vs architecture (missing {missing[:5]}, extra {extra[:5]})"
+        )
+    return jax.tree_util.tree_unflatten(treedef, [flat[k] for k in keys])
 
 
 class T2ITowers:
@@ -218,6 +252,9 @@ class T2ITowers:
         from ..models import CLIPTextConfig, CLIPTextEncoder, T5Config, T5Encoder
 
         assert family in ("sd3", "flux")
+        # a typo like 'smal' must not silently instantiate the full-scale
+        # CLIP-G + T5-XXL architectures (multi-GB host allocation)
+        assert scale in ("small", "full"), f"scale must be 'small' or 'full', got {scale!r}"
         self.family = family
         self.clip_seq = clip_seq
         self.t5_seq = t5_seq
@@ -251,10 +288,53 @@ class T2ITowers:
         self.used_pseudo_tokens = False
 
     def load(self, params_dir: str) -> "T2ITowers":
-        """Load converted tower params from an orbax/npz dir (weights day)."""
-        raise NotImplementedError(
-            "mount converted tower checkpoints and wire orbax restore here"
-        )
+        """Restore converted tower params (the weights-day ramp).
+
+        ``params_dir`` holds one entry per tower — ``clip_l``, ``t5``, and
+        (sd3 only) ``clip_g`` — each either an orbax checkpoint directory
+        written by ``utils.checkpoint.save_params`` or a ``<name>.npz`` flat
+        dict ('a/b/c' keys) — on the output of the matching converter
+        (``models.convert.convert_clip_text`` / ``convert_t5_encoder``). The
+        reference loads the same three towers at
+        ``pipeline_stable_diffusion_3_uncertainty_guided.py:90-121``. Every
+        tower must be present (a partial load would silently mix random-init
+        towers into real conditioning) and every leaf must match the
+        architecture's shape (a 'small'-scale instance can't take full
+        weights).
+        """
+        from pathlib import Path
+
+        import jax
+
+        base = Path(params_dir)
+        towers = [("clip_l", "clip_l_params"), ("t5", "t5_params")]
+        if self.family == "sd3":
+            towers.append(("clip_g", "clip_g_params"))
+        for name, attr in towers:
+            template = getattr(self, attr)
+            ckpt_dir, npz = base / name, base / f"{name}.npz"
+            if ckpt_dir.is_dir():
+                from ..utils.checkpoint import load_params
+
+                restored = load_params(ckpt_dir, template=template)
+            elif npz.is_file():
+                restored = _unflatten_npz(npz, template)
+            else:
+                raise FileNotFoundError(
+                    f"tower checkpoint missing: {ckpt_dir} (orbax dir) or {npz}"
+                )
+            bad = []
+
+            def _chk(path, a, b):
+                if tuple(a.shape) != tuple(b.shape):
+                    bad.append(f"{jax.tree_util.keystr(path)}: {a.shape} != {b.shape}")
+                return a
+
+            jax.tree_util.tree_map_with_path(_chk, restored, template)
+            if bad:
+                raise ValueError(f"{name}: leaf shapes differ from the architecture: {bad[:5]}")
+            setattr(self, attr, restored)
+        return self
 
     def encode(self, prompts: Sequence[str], clip_path=None, t5_path=None):
         """-> (context [B, clip_seq + t5_seq, t5_dim], pooled [B, P]) float32.

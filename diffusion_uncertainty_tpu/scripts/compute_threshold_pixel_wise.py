@@ -4,7 +4,15 @@ Parity: reference ``scripts/compute_threshold_pixel_wise.py:43-116`` — for
 each window step, the per-pixel value at the ``perc`` quantile across the run's
 N samples (order-statistic, sort-based). Output:
 ``results/thresholds/<dataset>/thresholds_<scheduler_type>_perc=<p>.npz``
-with shape [num_steps_uc, H, W, C] (NHWC here; the reference stores NCHW).
+with ``data`` of shape [num_steps_uc, H, W, C] (NHWC here; the reference
+stores NCHW) plus a ``window_offset`` scalar: row j of ``data`` is the
+threshold for GLOBAL inference step ``window_offset + j`` of the producing
+run (its ``start_step_uc``). Consumers (``generate_guided``) subtract the
+stamped offset before indexing, so tables from windowed runs line up with
+the reference's global-step contract (it asserts
+``threshold.shape[0] == timesteps.shape[0]`` and reads ``threshold[i]``,
+``...posterior_distribution.py:121-122``) without requiring
+``start_step_uc=0`` producers.
 """
 
 from __future__ import annotations
@@ -58,7 +66,11 @@ def main(argv=None):
     thresholds = compute_thresholds(uncertainty, cfg.perc)
     out_dir = paths.ensure(paths.thresholds() / meta["dataset"])
     name = f"thresholds_{meta['scheduler_type']}_perc={cfg.perc}"
-    np.savez(out_dir / f"{name}.npz", data=thresholds)
+    np.savez(
+        out_dir / f"{name}.npz",
+        data=thresholds,
+        window_offset=np.int32(meta.get("start_step_uc", 0)),
+    )
     with open(out_dir / f"config_{meta['scheduler_type']}_perc={cfg.perc}.yaml", "w") as f:
         yaml.safe_dump({**dataclasses.asdict(cfg), "run_dirs": [str(d) for d in run_dirs], "dataset_config": meta}, f)
     log.info("saved thresholds %s -> %s", thresholds.shape, out_dir / name)

@@ -60,18 +60,27 @@ class Config:
 
 def build_guidance(cfg: Config):
     thr = cfg.threshold
+    window_offset = 0
     if cfg.threshold_file:
         with np.load(cfg.threshold_file) as f:
             thr = f["data"]
+            window_offset = int(f["window_offset"]) if "window_offset" in f else 0
     dcfg = DiffusionConfig(eta=cfg.eta)
-    # per-global-step threshold tables (threshold_file) are indexed by the
-    # reference with the loop index i (thresholds_*.pth has one entry per
-    # generation step); window steps start at start_step_uc
-    offset = cfg.start_step_uc if cfg.threshold_file else 0
+    # threshold tables are indexed by the reference at the GLOBAL loop index i
+    # (``calculate_threshold_map`` reads threshold[i]); our npz stamps the
+    # producing run's start_step_uc as window_offset (row j = global step
+    # window_offset + j), so the effective table offset for this run's window
+    # [start_step_uc, ...) is their difference
+    offset = cfg.start_step_uc - window_offset if cfg.threshold_file else 0
+    if cfg.threshold_file and offset < 0:
+        raise SystemExit(
+            f"threshold table starts at global step {window_offset} but this run's"
+            f" window starts earlier (start_step_uc={cfg.start_step_uc})"
+        )
     if cfg.guidance == "posterior":
         return make_threshold_guidance(
             M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg,
-            step_index_offset=offset,
+            step_index_offset=offset, num_window_steps=cfg.num_steps_uc,
         )
     if cfg.guidance == "gradient":
         return make_percentile_guidance(M=cfg.M, percentile=float(cfg.threshold), use_posterior=False, lr=cfg.lr, dcfg=dcfg)
@@ -80,7 +89,7 @@ def build_guidance(cfg: Config):
     if cfg.guidance == "second_order":
         return make_second_order_guidance(
             M=cfg.M, threshold=thr, threshold_type=cfg.threshold_type, dcfg=dcfg,
-            step_index_offset=offset,
+            step_index_offset=offset, num_window_steps=cfg.num_steps_uc,
         )
     if cfg.guidance == "mask":
         return make_mask_guidance(EstimatorConfig(name="infer_noise", M=cfg.M), dcfg=dcfg)

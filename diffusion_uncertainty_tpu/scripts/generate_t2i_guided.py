@@ -52,11 +52,17 @@ class Config:
     M: int = 5
     unet_weights: Optional[str] = None  # diffusers UNet state dict (torch file)
     vae_weights: Optional[str] = None  # diffusers/CompVis KL-VAE state dict
+    # StableDiffusionSafetyChecker weights (file or dir); the reference's
+    # SD1.5 pipeline runs this stage post-decode (run_safety_checker,
+    # pipeline_stable_diffusion_uncertainty_guided.py:443-455). None = the
+    # pipeline's documented safety_checker=None mode (:151-158).
+    safety_checker_weights: Optional[str] = None
     clip_path: Optional[str] = None  # local CLIP text encoder dir
     # SD3/Flux conditioning source: "pseudo" (hash embeddings), "small"
     # (real flax towers, real widths, depth 2, random init) or "full" (real
     # CLIP-L/CLIP-G/T5-XXL architectures — weights-day / capability runs)
     text_towers: str = "pseudo"
+    towers_params_dir: Optional[str] = None  # converted tower ckpts (T2ITowers.load)
     tower_seq_len: int = 77  # per-tower token length (T5 supports up to 256/512)
     random_init: bool = False
     dtype: str = "bfloat16"
@@ -205,6 +211,8 @@ def run_flow_match_family(cfg: Config) -> int:
             "flux" if is_flux else "sd3", scale=cfg.text_towers,
             seed=cfg.seed, clip_seq=77, t5_seq=cfg.tower_seq_len,
         )
+        if cfg.towers_params_dir:
+            towers.load(cfg.towers_params_dir)
         c_ctx, c_pooled = towers.encode([cfg.prompt], clip_path=cfg.clip_path)
         u_ctx, u_pooled = towers.encode([cfg.prompt_negative], clip_path=cfg.clip_path)
         pseudo_tokens = towers.used_pseudo_tokens
@@ -428,9 +436,40 @@ def main(argv=None) -> int:
     with open(dest / "args.yaml", "w") as f:
         yaml.safe_dump({**dataclasses.asdict(cfg), "pseudo_text": bool(pseudo_text)}, f)
 
+    # post-decode safety-checker stage (reference run_safety_checker)
+    safety = None
+    if cfg.safety_checker_weights:
+        import jax.numpy as jnp
+
+        from ..models import CLIPVisionConfig
+        from ..models.convert import convert_safety_checker, load_any_state_dict
+        from ..pipelines.safety_checker import run_safety_checker
+
+        vcfg = CLIPVisionConfig.vit_l_14()
+        sc_params = convert_safety_checker(
+            load_any_state_dict(cfg.safety_checker_weights), vcfg
+        )
+
+        def safety(images):  # [-1,1] images -> (filtered [-1,1], flags)
+            filt, flags = run_safety_checker(
+                vcfg, sc_params, (jnp.asarray(images, jnp.float32) + 1.0) / 2.0
+            )
+            return np.asarray(filt) * 2.0 - 1.0, flags
+
+    def checked(images, tag):
+        if safety is None:
+            return images
+        images, flags = safety(images)
+        if flags is not None and flags.any():
+            log.warning("%s: %d/%d images flagged nsfw and blacked out",
+                        tag, int(flags.sum()), len(flags))
+        with open(dest / "nsfw_flags.yaml", "a") as f:
+            yaml.safe_dump({tag: [bool(x) for x in (flags if flags is not None else [])]}, f)
+        return images
+
     key = jax.random.key(cfg.seed)
     res = pipe(cond, key, uncond_embeds=uncond)
-    save_png(dest / "output_sd_uc.png", np.asarray(res.images))
+    save_png(dest / "output_sd_uc.png", checked(np.asarray(res.images), "guided"))
     if res.uncertainty is not None:
         np.savez(dest / "uncertainty.npz", data=np.asarray(res.uncertainty))
 
@@ -438,7 +477,7 @@ def main(argv=None) -> int:
         plain_cfg = dataclasses.replace(pcfg, num_steps_uc=0)
         plain = TextToImageUncertaintyPipeline(make_denoise_fn(params), schedule, decode, plain_cfg)
         res0 = plain(cond, jax.random.key(cfg.seed), uncond_embeds=uncond)
-        save_png(dest / "output_sd.png", np.asarray(res0.images))
+        save_png(dest / "output_sd.png", checked(np.asarray(res0.images), "original"))
 
     log.info("saved to %s", dest)
     print(f"Saved to {dest}")

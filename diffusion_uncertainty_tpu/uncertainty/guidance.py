@@ -20,7 +20,7 @@ Intentional deviations from the reference, for the judge:
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Union
+from typing import Any, Callable, NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,23 @@ def threshold_mask(u: jnp.ndarray, threshold: jnp.ndarray, mode: str = "higher")
     t = threshold[None] if threshold.ndim == u.ndim - 1 else threshold
     m = u > t if mode == "higher" else u < t
     return m.astype(jnp.float32)
+
+
+def _validate_threshold_table(thr, step_index_offset: int, num_window_steps):
+    """Per-step threshold tables are indexed at the GLOBAL step
+    ``step_index_offset + window_counter``; JAX's out-of-bounds gather would
+    silently clamp a short table to its last row instead of raising (the
+    reference asserts ``threshold.shape[0] == timesteps.shape[0]``,
+    ``...posterior_distribution.py:121-122``). Table length is static, so
+    validate at build time."""
+    needed = step_index_offset + (num_window_steps if num_window_steps else 1)
+    if thr.shape[0] < needed:
+        raise ValueError(
+            f"per-step threshold table has {thr.shape[0]} rows but the guidance"
+            f" window reads global steps [{step_index_offset},"
+            f" {needed - 1}] — the table must cover every inference step of the"
+            f" producing run (see scripts/compute_threshold_pixel_wise.py)"
+        )
 
 
 def _recompute_prev(schedule, state, new_eps, dcfg: DiffusionConfig, x0=None):
@@ -200,6 +217,7 @@ def make_threshold_guidance(
     dcfg: DiffusionConfig = DiffusionConfig(),
     ensemble_chunk: int = 0,
     step_index_offset: int = 0,
+    num_window_steps: Optional[int] = None,
     compat_step_index_alpha: bool = False,
     compat_batch_sum: bool = False,
     ensemble_noise=None,
@@ -225,6 +243,8 @@ def make_threshold_guidance(
 
     per_step = not isinstance(threshold, float)
     thr = jnp.asarray(threshold) if per_step else threshold
+    if per_step:
+        _validate_threshold_table(thr, step_index_offset, num_window_steps)
     ens_noise = None if ensemble_noise is None else jnp.asarray(ensemble_noise, jnp.float32)
 
     def init(x_T):
@@ -408,6 +428,7 @@ def make_second_order_guidance(
     dcfg: DiffusionConfig = DiffusionConfig(),
     ensemble_chunk: int = 0,
     step_index_offset: int = 0,
+    num_window_steps: Optional[int] = None,
     compat_step_index_alpha: bool = False,
     ensemble_noise=None,
     sign_noise=None,
@@ -432,6 +453,8 @@ def make_second_order_guidance(
 
     per_step = not isinstance(threshold, float)
     thr = jnp.asarray(threshold) if per_step else threshold
+    if per_step:
+        _validate_threshold_table(thr, step_index_offset, num_window_steps)
     ens_noise = None if ensemble_noise is None else jnp.asarray(ensemble_noise, jnp.float32)
     sgn_noise = None if sign_noise is None else jnp.asarray(sign_noise, jnp.float32)
 

@@ -342,3 +342,140 @@ def test_clip_text_projection_and_penultimate_match_transformers():
     np.testing.assert_allclose(
         np.asarray(res.penultimate), out.hidden_states[-2].numpy(), atol=5e-5, rtol=1e-4
     )
+
+
+def test_clip_vision_matches_transformers():
+    """Flax CLIP vision tower vs transformers torch CLIPVisionModelWithProjection
+    on a synthetic random-init state dict (VERDICT r4 #5: the SD1.5
+    safety-checker backbone — pipeline_stable_diffusion_uncertainty_guided
+    .py:41,443-455). Pins the class/patch/position embedding assembly, the
+    pre_layrnorm, the bidirectional quick-GELU encoder, the post-LN CLS
+    pooling, and the no-bias visual projection."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import CLIPVisionConfig, CLIPVisionEncoder
+    from diffusion_uncertainty_tpu.models.convert import convert_clip_vision
+
+    cfg = CLIPVisionConfig.tiny()
+    hf = transformers.CLIPVisionConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.projection_dim, hidden_act="quick_gelu",
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    ref = transformers.CLIPVisionModelWithProjection(hf).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0.0, 0.2)
+    params = convert_clip_vision(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, cfg
+    )
+    rng = np.random.RandomState(0)
+    px = rng.randn(2, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+    with torch.no_grad():
+        tout = ref(torch.from_numpy(px.transpose(0, 3, 1, 2)), output_hidden_states=True)
+    out = CLIPVisionEncoder(cfg).apply(params, px)
+    np.testing.assert_allclose(
+        np.asarray(out.last_hidden), tout.hidden_states[-1].numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.image_embeds), tout.image_embeds.numpy(), atol=2e-4
+    )
+
+
+def test_safety_checker_head_matches_diffusers_math():
+    """convert_safety_checker + safety_scores vs a hand-built torch
+    implementation of diffusers' StableDiffusionSafetyChecker forward
+    (cosine distances to concept/special-care embeds, the 0.01 special-care
+    adjustment, any-over-threshold flagging, black-out of flagged images).
+    diffusers itself isn't in the image; the oracle follows its source
+    (diffusers/pipelines/stable_diffusion/safety_checker.py) verbatim."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from diffusion_uncertainty_tpu.models import CLIPVisionConfig
+    from diffusion_uncertainty_tpu.models.convert import convert_safety_checker
+    from diffusion_uncertainty_tpu.pipelines.safety_checker import (
+        run_safety_checker,
+        safety_scores,
+    )
+
+    cfg = CLIPVisionConfig.tiny()
+    hf = transformers.CLIPVisionConfig(
+        hidden_size=cfg.hidden_size, num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=cfg.intermediate_size,
+        image_size=cfg.image_size, patch_size=cfg.patch_size,
+        projection_dim=cfg.projection_dim, hidden_act="quick_gelu",
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    tower = transformers.CLIPVisionModel(hf).eval()
+    proj = torch.nn.Linear(cfg.hidden_size, cfg.projection_dim, bias=False)
+    with torch.no_grad():
+        for p in list(tower.parameters()) + list(proj.parameters()):
+            p.normal_(0.0, 0.2)
+    rng = np.random.RandomState(1)
+    n_concepts, n_special = 17, 3
+    heads = {
+        "concept_embeds": rng.randn(n_concepts, cfg.projection_dim).astype(np.float32),
+        "special_care_embeds": rng.randn(n_special, cfg.projection_dim).astype(np.float32),
+    }
+    px = rng.randn(4, cfg.image_size, cfg.image_size, 3).astype(np.float32)
+
+    def l2n(t):
+        return t / t.norm(dim=-1, keepdim=True)
+
+    # pick thresholds BETWEEN the batch's per-image max cosines so the flags
+    # deterministically split the batch (some nsfw, some not)
+    with torch.no_grad():
+        emb0 = proj(tower(torch.from_numpy(px.transpose(0, 3, 1, 2))).pooler_output)
+        cd0 = (l2n(emb0) @ l2n(torch.from_numpy(heads["concept_embeds"])).T)
+        per_img_max = cd0.max(dim=-1).values.numpy()
+    mid = float(np.sort(per_img_max)[len(per_img_max) // 2 - 1]) + 1e-4
+    heads["concept_embeds_weights"] = np.full(n_concepts, mid, np.float32)
+    heads["special_care_embeds_weights"] = np.full(n_special, 2.0, np.float32)
+
+    # the diffusers checkpoint layout: doubled vision_model prefix
+    sd = {f"vision_model.{k}": v.numpy() for k, v in tower.state_dict().items()}
+    sd["visual_projection.weight"] = proj.weight.detach().numpy()
+    sd.update(heads)
+    params = convert_safety_checker(sd, cfg)
+
+    # --- torch oracle: diffusers' forward, verbatim semantics ---
+    with torch.no_grad():
+        pooled = tower(torch.from_numpy(px.transpose(0, 3, 1, 2))).pooler_output
+        image_embeds = proj(pooled)
+        s_dist = (l2n(image_embeds) @ l2n(torch.from_numpy(heads["special_care_embeds"])).T)
+        c_dist = (l2n(image_embeds) @ l2n(torch.from_numpy(heads["concept_embeds"])).T)
+        special_scores = s_dist - torch.from_numpy(heads["special_care_embeds_weights"])
+        special_care = special_scores.gt(0).any(dim=-1)
+        adj = torch.where(special_care, 0.01, 0.0)[:, None]
+        concept_scores = c_dist - torch.from_numpy(heads["concept_embeds_weights"]) + adj
+        nsfw_ref = concept_scores.gt(0).any(dim=-1).numpy()
+
+    has_nsfw, cscores, sscores = safety_scores(cfg, params, jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(cscores), concept_scores.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sscores), special_scores.numpy(), atol=2e-4)
+    assert (np.asarray(has_nsfw) == nsfw_ref).all()
+    assert nsfw_ref.any() and not nsfw_ref.all(), "test heads should split the batch"
+
+    # --- end-to-end stage: flagged images blacked out, None params = no-op ---
+    imgs = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    # scores computed on clip_preprocess(imgs), so recompute the flags
+    filtered, flags = run_safety_checker(cfg, params, imgs)
+    assert flags is not None
+    for i, f in enumerate(flags):
+        if f:
+            assert float(jnp.abs(filtered[i]).max()) == 0.0
+        else:
+            assert np.allclose(np.asarray(filtered[i]), np.asarray(imgs[i]))
+    same, none_flags = run_safety_checker(cfg, None, imgs)
+    assert none_flags is None and np.allclose(np.asarray(same), np.asarray(imgs))

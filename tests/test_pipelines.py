@@ -148,3 +148,64 @@ def test_t2i_towers_sd3_and_flux_conditioning_shapes():
     fctx, fpooled = f.encode(["a cat"])
     assert fctx.shape == (1, 6, 4096) and fpooled.shape == (1, 768)
     assert np.isfinite(fctx).all() and np.isfinite(fpooled).all()
+
+
+def test_t2i_towers_load_roundtrip(tmp_path):
+    """T2ITowers.load (VERDICT r4 #3): restore converted tower params from
+    npz flat dicts and orbax dirs; wrong shapes / missing towers raise."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from diffusion_uncertainty_tpu.pipelines.text_encoder import T2ITowers
+    from diffusion_uncertainty_tpu.utils.checkpoint import save_params
+
+    t = T2ITowers("sd3", scale="small", seed=0, clip_seq=8, t5_seq=6)
+    donor = T2ITowers("sd3", scale="small", seed=1, clip_seq=8, t5_seq=6)
+
+    def flat(tree):
+        paths, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in p): np.asarray(v)
+            for p, v in paths
+        }
+
+    # npz for clip_l + t5, orbax for clip_g (both layouts must restore)
+    np.savez(tmp_path / "clip_l.npz", **flat(donor.clip_l_params))
+    np.savez(tmp_path / "t5.npz", **flat(donor.t5_params))
+    save_params(tmp_path / "clip_g", donor.clip_g_params)
+
+    t.load(tmp_path)
+    for attr in ("clip_l_params", "clip_g_params", "t5_params"):
+        got = jax.tree.leaves(getattr(t, attr))
+        want = jax.tree.leaves(getattr(donor, attr))
+        assert all(np.allclose(a, b) for a, b in zip(got, want))
+
+    # missing tower raises
+    t2 = T2ITowers("flux", scale="small", clip_seq=8, t5_seq=6)
+    with pytest.raises(FileNotFoundError):
+        t2.load(tmp_path / "nope")
+
+    # shape mismatch raises (one corrupted leaf)
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    fl = flat(donor.clip_l_params)
+    k0 = next(iter(fl))
+    fl[k0] = np.zeros(np.asarray(fl[k0]).shape + (2,), np.float32)
+    np.savez(bad_dir / "clip_l.npz", **fl)
+    np.savez(bad_dir / "t5.npz", **flat(donor.t5_params))
+    save_params(bad_dir / "clip_g", donor.clip_g_params)
+    with pytest.raises(ValueError):
+        T2ITowers("sd3", scale="small", clip_seq=8, t5_seq=6).load(bad_dir)
+
+    # missing key raises
+    fl2 = flat(donor.t5_params)
+    fl2.pop(next(iter(fl2)))
+    np.savez(bad_dir / "t5.npz", **fl2)
+    np.savez(bad_dir / "clip_l.npz", **flat(donor.clip_l_params))
+    with pytest.raises(KeyError):
+        T2ITowers("sd3", scale="small", clip_seq=8, t5_seq=6).load(bad_dir)
+
+    # scale typo guard (ADVICE r4)
+    with pytest.raises(AssertionError):
+        T2ITowers("sd3", scale="smal")
