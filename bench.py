@@ -61,7 +61,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chunk: int = 0) -> dict:
+def run_config(
+    cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chunk: int = 0,
+    zigzag_collapse: bool = False,
+) -> dict:
     BATCH = batch  # noqa: N806 — local shadow so the body reads naturally
     model = ADMUNet(cfg_m)
     size = cfg_m.image_size
@@ -111,7 +114,7 @@ def run_config(cfg_m: ADMUNetConfig, tag: str, batch: int = BATCH, ensemble_chun
     est = make_estimator(
         EstimatorConfig(
             name="uncertainty_zigzag_centered", M=M, num_zigzag=NUM_ZIGZAG,
-            ensemble_chunk=ensemble_chunk,
+            ensemble_chunk=ensemble_chunk, zigzag_collapse=zigzag_collapse,
         )
     )
 
@@ -413,6 +416,21 @@ def run_single(name: str) -> None:
     if name == "sd3":
         print(json.dumps(run_sd3()))
         return
+    if name == "zz_collapse":
+        # OPT-IN variant, never the headline: the distribution-identical
+        # zigzag fast path (KS-validated in tests/test_estimators.py) cuts
+        # window forwards num_zigzag x. The reference burns those forwards
+        # and the headline metric counts them, so this is reported under its
+        # own clearly-marked key.
+        cfg = dataclasses.replace(ADMUNetConfig.imagenet128(), dtype=jnp.bfloat16)
+        out = run_config(cfg, "imagenet128_zzcollapse", batch=48, ensemble_chunk=1,
+                         zigzag_collapse=True)
+        print(json.dumps({
+            "zigzag_collapse_variant_imgs_per_sec_chip": out["value"],
+            "zigzag_collapse_variant_note":
+                "distribution-identical fast path (1 fwd per window member), NOT the headline protocol",
+        }))
+        return
     if name == "adm64":
         cfg = dataclasses.replace(
             ADMUNetConfig.imagenet64(dropout=0.0), dtype=jnp.bfloat16
@@ -514,6 +532,7 @@ def main() -> None:
     # #4), each subprocess-isolated; a failure must not cost the headline
     for extra_name, extra_timeout in (
         ("uvit", 3600), ("cifar10", 2400), ("adm64", 3600), ("sd3", 3600),
+        ("zz_collapse", 3600),
     ):
         extra = _run_child(extra_name, timeout=extra_timeout)
         if extra:

@@ -78,11 +78,14 @@ def _pad_plan(q_shape, dtype, s_kv: int, supports) -> tuple[int | None, int | No
     top measurably loses to XLA's direct attention — U-ViT-huge (S=258,
     d=72) ran 2.67 vs 3.14 imgs/sec whole-loop on a v5e before this gate
     (on-chip A/B, r3). ADM's d=192 levels keep the kernel (their S is
-    already 8/128-aligned, so they never enter the padded branch)."""
+    already 8/128-aligned, so they never enter the padded branch).
+    DU_TPU_ATTN_PAD_ANY_D=1 lifts the gate for on-chip A/Bs."""
+    import os
+
     b, s, h, d = q_shape
     ceil8 = lambda n: max((n + 7) // 8 * 8, 8)
     ceil128 = lambda n: max((n + 127) // 128 * 128, 8)
-    lane_aligned = d % 128 == 0
+    lane_aligned = d % 128 == 0 or os.environ.get("DU_TPU_ATTN_PAD_ANY_D") == "1"
     for sp in dict.fromkeys((ceil8(s), ceil128(s))):
         for spk in dict.fromkeys((ceil8(s_kv), ceil128(s_kv))):
             if not lane_aligned and (sp != s or spk != s_kv):

@@ -58,24 +58,41 @@ def main():
     jax.block_until_ready(out)
     flops = jax.jit(lambda p, xx: model.apply(p, xx, t, y)).lower(params, xr).compile().cost_analysis()["flops"]
     print(f"cost_analysis flops: {flops/1e9:.1f} GFLOP/batch ({flops/B/1e9:.2f}/img)", file=sys.stderr)
+
+    # chained-scan wall timing: the axon relay's ~100 ms per-dispatch overhead
+    # swamps per-call timings, so run LOOP forwards inside one jit
+    LOOP = 10
+
+    @jax.jit
+    def loop(p, xx):
+        def body(c, _):
+            return model.apply(p, c, t, y).astype(jnp.bfloat16), None
+
+        out, _ = jax.lax.scan(body, xx, None, length=LOOP)
+        return out
+
+    out = loop(params, xr)
+    jax.block_until_ready(out)
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fwd(params, xr)
+    for _ in range(reps):
+        out = loop(params, xr)
     float(jnp.sum(out[0, 0, 0]))
-    per_fwd = (time.perf_counter() - t0) / ITERS
+    per_fwd = (time.perf_counter() - t0) / reps / LOOP
     print(
-        f"forward wall: {per_fwd*1e3:.1f} ms -> {flops/per_fwd/1e12:.1f} TFLOP/s"
+        f"forward (chained x{LOOP}): {per_fwd*1e3:.1f} ms -> {flops/per_fwd/1e12:.1f} TFLOP/s"
         f" ({flops/per_fwd/197e12*100:.1f}% MFU)",
         file=sys.stderr,
     )
 
-    tmp = tempfile.mkdtemp(prefix="xprof_uvit_")
-    jax.profiler.start_trace(tmp)
-    for _ in range(ITERS):
-        out = fwd(params, xr)
-    float(jnp.sum(out[0, 0, 0]))
-    jax.profiler.stop_trace()
-    parse_trace(tmp, ITERS)
+    if "--trace" in sys.argv:
+        tmp = tempfile.mkdtemp(prefix="xprof_uvit_")
+        jax.profiler.start_trace(tmp)
+        for _ in range(ITERS):
+            out = fwd(params, xr)
+        float(jnp.sum(out[0, 0, 0]))
+        jax.profiler.stop_trace()
+        parse_trace(tmp, ITERS)
 
 
 if __name__ == "__main__":

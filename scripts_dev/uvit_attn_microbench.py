@@ -30,19 +30,29 @@ jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B, S, H, D = 64, 258, 16, 72
-ITERS = 20
+ITERS = 50  # chained inside ONE jit: the axon relay's ~100 ms per-dispatch
+# overhead swamps single-op wall timings, so feed each call's output back as
+# the next query and measure 50 device iterations per dispatch
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)
+def timeit(name, fn, q, k, v):
+    @jax.jit
+    def loop(q, k, v):
+        def body(c, _):
+            return fn(c, k, v).astype(c.dtype), None
+
+        out, _ = jax.lax.scan(body, q, None, length=ITERS)
+        return out
+
+    out = loop(q, k, v)
     jax.block_until_ready(out)
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    # host scalar readback (donated-alias safe timing)
+    for _ in range(reps):
+        out = loop(q, k, v)
     float(jnp.sum(out[0, 0].astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"{name:10s} {dt*1e3:8.3f} ms", flush=True)
+    dt = (time.perf_counter() - t0) / reps / ITERS
+    print(f"{name:10s} {dt*1e3:8.3f} ms/site-call", flush=True)
     return dt
 
 

@@ -29,14 +29,25 @@ ITERS = 30
 FLOPS = 2 * B * S * DM * HID * 2  # fc1 + fc2
 
 
-def timeit(name, fn, *args):
-    out = fn(*args)
+def timeit(name, fn, x, *args):
+    # chained inside one jit: the axon relay's ~100 ms per-dispatch overhead
+    # swamps per-call wall timings
+    @jax.jit
+    def loop(x, *args):
+        def body(c, _):
+            return fn(c, *args).astype(c.dtype) * 0.5, None  # *0.5 bounds the chain
+
+        out, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return out
+
+    out = loop(x, *args)
     jax.block_until_ready(out)
+    reps = 3
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
+    for _ in range(reps):
+        out = loop(x, *args)
     float(jnp.sum(out[0, 0].astype(jnp.float32)))
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / reps / ITERS
     print(f"{name:18s} {dt*1e3:8.3f} ms  ({FLOPS/dt/1e12:6.1f} TFLOP/s)", flush=True)
     return dt
 
