@@ -44,10 +44,24 @@ def dot_product_attention(
 
         use_pallas = _on_tpu() and os.environ.get("DU_TPU_DISABLE_PALLAS_ATTN") != "1"
     if use_pallas:
+        import os
+
         from .flash_attention import supports
+        from .packed_attention import packed_supports
 
         b, s, h, d = q.shape
         s_kv = k.shape[1]
+        if (
+            d % 128 != 0
+            and packed_supports(q.shape, q.dtype, s_kv)
+            and os.environ.get("DU_TPU_PACKED_ATTN") != "0"
+        ):
+            # non-lane-aligned heads (U-ViT 72, CLIP/MMDiT 64): the
+            # packed-head kernel attends straight out of [B,S,H·D] with no
+            # transposes/padding and no HBM logits — U-ViT-huge b64 forward
+            # measured 139.8 (fast-softmax XLA) -> 125.7 ms chained in a
+            # lax.scan (66.7% MFU), kernel 0.76 ms/site
+            return _packed_with_xla_grad(q, k, v, None)
         sp, sp_kv = _pad_plan(q.shape, q.dtype, s_kv, supports)
         if sp is not None:
             if sp == s and sp_kv == s_kv:
@@ -64,6 +78,11 @@ def dot_product_attention(
                 s_kv if sp_kv != s_kv else None,
             )
             return out[:, :s]
+        if os.environ.get("DU_TPU_FAST_SOFTMAX") != "0":
+            # shapes the Pallas kernel rejects (U-ViT's non-lane-aligned
+            # d=72 heads): the bandwidth-lean XLA schedule below instead of
+            # the f32-logits fallback
+            return _xla_attention_fast(q, k, v)
     return _xla_attention(q, k, v)
 
 
@@ -93,6 +112,40 @@ def _pad_plan(q_shape, dtype, s_kv: int, supports) -> tuple[int | None, int | No
             if sp <= max(2 * s, 8) and spk <= max(2 * s_kv, 8) and supports((b, sp, h, d), dtype, spk):
                 return sp, spk
     return None, None
+
+
+# bounded-logit clamp for the fast softmax: exp(60) ≈ 1.1e26 stays far
+# inside bf16/f32 range even summed over 4k keys; post-LayerNorm logits in
+# this model zoo sit around |s| ≤ ~30, so the clamp is dead in practice and
+# exists only to make a pathological activation finite instead of inf/nan
+_FAST_SOFTMAX_BOUND = 60.0
+
+
+def _xla_attention_fast(q, k, v):
+    """Bandwidth-lean XLA attention for Pallas-rejected shapes (TPU only).
+
+    The standard fallback materializes f32 [B,H,S,S] logits and walks them
+    ~5 times (QK write, max, exp, sum, PV read) — ~2.1 ms/site at U-ViT's
+    [64,258,16,72] where 273 MB of logits dominate. This schedule skips the
+    per-row max (softmax is shift-invariant; boundedness replaces the shift
+    — see _FAST_SOFTMAX_BOUND) so exp() fuses into the QK matmul epilogue
+    and the probabilities land in HBM ONCE, in bf16 (136 MB): three passes
+    total. Storing exp(s) in bf16 keeps softmax weights to ~0.4% relative
+    error (vs ~8% if the *logits* were rounded to bf16: d/ds exp amplifies
+    logit error by the logit magnitude). Exactness-critical paths (oracle
+    tests, CPU) keep _xla_attention via use_pallas=False / non-TPU dispatch;
+    DU_TPU_FAST_SOFTMAX=0 restores it on TPU too."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(
+        jnp.clip(s, -_FAST_SOFTMAX_BOUND, _FAST_SOFTMAX_BOUND)
+    ).astype(jnp.bfloat16)
+    l = jnp.sum(p, axis=-1, dtype=jnp.float32)  # [B,H,Sq]
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v, preferred_element_type=jnp.float32)
+    out = out / jnp.transpose(l, (0, 2, 1))[..., None]
+    return out.astype(q.dtype)
 
 
 def _xla_attention(q, k, v):
@@ -139,3 +192,19 @@ def _flash_bwd(kv_len, res, g):
 
 
 _flash_with_xla_grad.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_with_xla_grad(q, k, v, kv_len):
+    """Packed-head Pallas forward; standard-attention einsum math for the
+    backward (same rationale as _flash_with_xla_grad)."""
+    from .packed_attention import packed_attention
+
+    return packed_attention(q, k, v, kv_len=kv_len)
+
+
+def _packed_fwd(q, k, v, kv_len):
+    return _packed_with_xla_grad(q, k, v, kv_len), (q, k, v)
+
+
+_packed_with_xla_grad.defvjp(_packed_fwd, _flash_bwd)

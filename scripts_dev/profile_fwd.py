@@ -20,7 +20,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+sys.path.insert(0, "scripts_dev")
 from diffusion_uncertainty_tpu.models import ADMUNet, ADMUNetConfig
+from xplane import parse_trace
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 48
 
@@ -66,80 +68,7 @@ def main():
         out = fwd(params, xr)
     float(jnp.sum(out[0, 0, 0]))
     jax.profiler.stop_trace()
-
-    files = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
-    print(f"xplane: {files}", file=sys.stderr)
-    # load the xplane proto module directly (importing `tensorflow` itself
-    # fails in this image; the generated pb2 only needs protobuf)
-    import importlib.util
-    import site
-
-    pb2_path = None
-    for sp in site.getsitepackages():
-        cand = f"{sp}/tensorflow/tsl/profiler/protobuf/xplane_pb2.py"
-        import os
-
-        if os.path.exists(cand):
-            pb2_path = cand
-            break
-    spec = importlib.util.spec_from_file_location("xplane_pb2", pb2_path)
-    xplane_pb2 = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(xplane_pb2)
-
-    xs = xplane_pb2.XSpace()
-    xs.ParseFromString(open(files[0], "rb").read())
-    groups = collections.Counter()
-    total = 0.0
-    per_op = collections.Counter()
-    per_op_bucket = {}
-    for plane in xs.planes:
-        if plane.name != "/device:TPU:0":
-            continue
-        ev_meta = plane.event_metadata
-        st_meta = plane.stat_metadata
-        for line in plane.lines:
-            # the leaf-op line; "XLA Modules" aggregates would double-count
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                md = ev_meta[ev.metadata_id]
-                cat = None
-                for s in md.stats:
-                    if st_meta[s.metadata_id].name == "hlo_category":
-                        cat = s.str_value
-                if cat in ("async-start", "async-done"):
-                    continue  # overlapped DMA bookkeeping, not device time
-                name = md.name
-                dur = ev.duration_ps / 1e12
-                total += dur
-                per_op[name] += dur
-                n = name.lower()
-                if "flash_attention" in n:
-                    bucket = "pallas_attention"
-                elif cat == "custom-call":
-                    bucket = "pallas_gn"
-                elif cat == "convolution fusion":
-                    bucket = "conv_fusion"
-                elif cat in ("data formatting",) or "transpose" in n or "copy" in (cat or ""):
-                    bucket = "layout/copy"
-                else:
-                    bucket = cat or "other"
-                groups[bucket] += dur
-                per_op_bucket.setdefault(bucket, collections.Counter())[name] += dur
-    print(f"\ntotal device time over 3 fwd: {total*1e3:.1f} ms ({total/3*1e3:.1f}/fwd)")
-    for k, v in groups.most_common():
-        print(f"  {k:20s} {v/3*1e3:8.2f} ms/fwd")
-    print("\ntop 40 ops:")
-    for name, v in per_op.most_common(40):
-        print(f"  {v/3*1e3:8.3f} ms  {name[:130]}")
-    print("\nper-bucket top ops:")
-    for bucket in ("loop fusion", "layout/copy", "broadcast", "non-fusion elementwise", "pallas_gn"):
-        members = per_op_bucket.get(bucket)
-        if not members:
-            continue
-        print(f"  [{bucket}]")
-        for name, v in members.most_common(8):
-            print(f"    {v/3*1e3:8.3f} ms  {name[:120]}")
+    parse_trace(tmp, 3)
 
 
 if __name__ == "__main__":

@@ -22,7 +22,8 @@ sys.path.insert(0, "scripts_dev")
 from diffusion_uncertainty_tpu.models import UViT, UViTConfig
 from xplane import parse_trace
 
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+B = int(_pos[0]) if _pos else 64
 ITERS = 4
 
 
@@ -93,6 +94,17 @@ def main():
         float(jnp.sum(out[0, 0, 0]))
         jax.profiler.stop_trace()
         parse_trace(tmp, ITERS)
+
+    if "--trace-loop" in sys.argv:
+        # scan-context attribution: the sampler wraps the model in lax.scan,
+        # and kernels can behave differently there (buffer aliasing / DMA
+        # pipelining), so trace the chained loop too
+        tmp = tempfile.mkdtemp(prefix="xprof_uvit_loop_")
+        jax.profiler.start_trace(tmp)
+        out = loop(params, xr)
+        float(jnp.sum(out[0, 0, 0]))
+        jax.profiler.stop_trace()
+        parse_trace(tmp, LOOP)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,21 @@ def parse_trace(trace_dir, n_iters, top_n=40):
     print(f"\ntotal device time over {n_iters} it: {total*1e3:.1f} ms ({total/n_iters*1e3:.2f}/it)")
     for k, v in groups.most_common():
         print(f"  {k:20s} {v/n_iters*1e3:8.2f} ms/it")
+
+    # family rollup: strip the .N instance suffix and the %-prefix so the 29
+    # per-block clones of one op aggregate into a single accountable line
+    import re
+
+    fam = collections.Counter()
+    fam_n = collections.Counter()
+    for name, v in per_op.items():
+        base = re.sub(r"\.\d+$", "", name.split(" = ")[0].lstrip("%"))
+        fam[base] += v
+        fam_n[base] += 1
+    print("\nop families (sum/it, count):")
+    for base, v in fam.most_common(top_n):
+        print(f"  {v/n_iters*1e3:8.3f} ms  x{fam_n[base]:<4d} {base[:110]}")
+
     print(f"\ntop {top_n} ops:")
     for name, v in per_op.most_common(top_n):
         print(f"  {v/n_iters*1e3:8.3f} ms  {name[:130]}")

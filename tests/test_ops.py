@@ -375,3 +375,103 @@ def test_interleave_phases_pallas_matches_xla():
     g = jax.grad(lambda xx: jnp.sum(jnp.sin(nearest_upsample_2x(xx, use_pallas=True))))(x)
     r = jax.grad(lambda xx: jnp.sum(jnp.sin(nearest_upsample(xx))))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6)
+
+
+def test_xla_attention_fast_matches_reference():
+    """Bandwidth-lean bounded-logit softmax (U-ViT's Pallas-rejected d=72):
+    bf16-probability storage keeps weights to ~0.4% relative, so outputs
+    agree with the f32-logits path to bf16-grade tolerance."""
+    from diffusion_uncertainty_tpu.ops.attention import (
+        _xla_attention,
+        _xla_attention_fast,
+    )
+
+    kq, kk, kv = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(kq, (2, 258, 4, 72), jnp.bfloat16) * 2
+    k = jax.random.normal(kk, (2, 258, 4, 72), jnp.bfloat16) * 2
+    v = jax.random.normal(kv, (2, 258, 4, 72), jnp.bfloat16)
+    ref = np.asarray(_xla_attention(q, k, v).astype(jnp.float32))
+    out = np.asarray(_xla_attention_fast(q, k, v).astype(jnp.float32))
+    np.testing.assert_allclose(out, ref, atol=3e-2)
+    assert np.abs(out - ref).mean() < 2e-3
+
+
+def test_xla_attention_fast_extreme_logits_finite():
+    """The clamp keeps pathological activations finite (softmax saturates
+    instead of overflowing to inf/nan) and stays exact for a one-hot row."""
+    from diffusion_uncertainty_tpu.ops.attention import _xla_attention_fast
+
+    # huge-magnitude q/k: unclamped logits ~ +-D*1e4 would overflow exp
+    q = jnp.full((1, 8, 1, 72), 100.0, jnp.float32)
+    k = jnp.concatenate(
+        [jnp.full((1, 1, 1, 72), 100.0), -jnp.ones((1, 7, 1, 72))], axis=1
+    )
+    v = jnp.arange(8, dtype=jnp.float32).reshape(1, 8, 1, 1) * jnp.ones((1, 8, 1, 72))
+    out = np.asarray(_xla_attention_fast(q, k, v))
+    assert np.isfinite(out).all()
+    # key 0 dominates (logit gap >> clamp width after clipping): weight -> 1
+    np.testing.assert_allclose(out[0, 0, 0], np.zeros(72), atol=1e-3)
+
+
+def test_packed_attention_matches_xla():
+    """Packed-head kernel (interpret mode on CPU): exact vs the f32 XLA
+    path at the U-ViT (d=72) and CLIP/MMDiT (d=64) head shapes."""
+    from diffusion_uncertainty_tpu.ops.attention import _xla_attention
+    from diffusion_uncertainty_tpu.ops.packed_attention import (
+        packed_attention,
+        packed_supports,
+    )
+
+    for b, s, h, d in [(2, 258, 4, 72), (1, 77, 4, 64)]:
+        kq, kk, kv = jax.random.split(jax.random.key(b), 3)
+        q = jax.random.normal(kq, (b, s, h, d), jnp.float32)
+        k = jax.random.normal(kk, (b, s, h, d), jnp.float32)
+        v = jax.random.normal(kv, (b, s, h, d), jnp.float32)
+        assert packed_supports((b, s, h, d), jnp.float32)
+        ref = np.asarray(_xla_attention(q, k, v))
+        out = np.asarray(packed_attention(q, k, v))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_attention_masked_cross():
+    """kv_len masks trailing alignment-padded keys exactly (cross-attention
+    with a ragged real context, e.g. SD1.5's 77 tokens padded to 80)."""
+    from diffusion_uncertainty_tpu.ops.attention import _xla_attention
+    from diffusion_uncertainty_tpu.ops.packed_attention import packed_attention
+
+    kq, kk, kv = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(kq, (1, 64, 2, 72), jnp.float32)
+    k = jax.random.normal(kk, (1, 80, 2, 72), jnp.float32)
+    v = jax.random.normal(kv, (1, 80, 2, 72), jnp.float32)
+    ref = np.asarray(_xla_attention(q, k[:, :66], v[:, :66]))
+    out = np.asarray(packed_attention(q, k, v, kv_len=66))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_attention_vmap_folds_into_batch():
+    """The custom vmap rule folds the mapped (ensemble) axis into batch
+    instead of appending it to every VMEM block."""
+    from diffusion_uncertainty_tpu.ops.attention import _xla_attention
+    from diffusion_uncertainty_tpu.ops.packed_attention import packed_attention
+
+    qs = jax.random.normal(jax.random.key(4), (3, 1, 64, 2, 72))
+    out = np.asarray(jax.vmap(lambda a, b, c: packed_attention(a, b, c))(qs, qs, qs))
+    ref = np.stack([np.asarray(_xla_attention(qs[i], qs[i], qs[i])) for i in range(3)])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_attention_dispatch_and_gradient():
+    """dot_product_attention routes non-lane-aligned heads to the packed
+    kernel; the custom VJP (einsum backward) matches XLA's gradient."""
+    from diffusion_uncertainty_tpu.ops.attention import (
+        _xla_attention,
+        dot_product_attention,
+    )
+
+    q = jax.random.normal(jax.random.key(0), (2, 258, 4, 72), jnp.float32)
+    out = dot_product_attention(q, q, q, use_pallas=True)
+    ref = _xla_attention(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    g = jax.grad(lambda qq: jnp.sum(dot_product_attention(qq, q, q, use_pallas=True) ** 2))(q)
+    gr = jax.grad(lambda qq: jnp.sum(_xla_attention(qq, q, q) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-4, atol=1e-4)
