@@ -133,14 +133,15 @@ def nearest_upsample(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     """2×2 stride-2 average pool (NHWC) — ADM's non-conv Downsample.
 
-    Written as slice-adds instead of ``lax.reduce_window``: the window op was
-    profiled at ~4x its streaming ideal on the 128² level (2.6 ms/forward on
-    ADM-128 b48), while the equivalent strided-slice formulation fuses into a
-    single elementwise kernel."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    s = (x[:, :, 0, :, 0] + x[:, :, 0, :, 1]) + (x[:, :, 1, :, 0] + x[:, :, 1, :, 1])
-    return s * jnp.asarray(0.25, x.dtype)
+    Dispatches to the layout-native Pallas kernel (``ops/avgpool.py``) on
+    TPU — every XLA formulation loses on the conv-native layout: the
+    6D-reshape slice-add form costs a relayout copy (2×1.23 ms/fwd at 128²
+    on ADM-128 b48), 4D strided slices fuse into consumers as uncoalesced
+    scans (+2.5 ms/fwd whole-model), and ``lax.reduce_window`` ran ~4× its
+    streaming ideal."""
+    from ..ops.avgpool import avg_pool_2x2
+
+    return avg_pool_2x2(x)
 
 
 class Conv3x3(nn.Module):

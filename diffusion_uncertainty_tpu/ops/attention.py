@@ -52,15 +52,19 @@ def dot_product_attention(
         b, s, h, d = q.shape
         s_kv = k.shape[1]
         if (
-            d % 128 != 0
+            (d % 128 != 0 or s_kv <= 512)
             and packed_supports(q.shape, q.dtype, s_kv)
             and os.environ.get("DU_TPU_PACKED_ATTN") != "0"
         ):
-            # non-lane-aligned heads (U-ViT 72, CLIP/MMDiT 64): the
-            # packed-head kernel attends straight out of [B,S,H·D] with no
-            # transposes/padding and no HBM logits — U-ViT-huge b64 forward
-            # measured 139.8 (fast-softmax XLA) -> 125.7 ms chained in a
-            # lax.scan (66.7% MFU), kernel 0.76 ms/site
+            # packed-head kernel: attends straight out of [B,S,H·D] with no
+            # transposes/padding and no HBM logits. Two regimes win on chip:
+            # (1) non-lane-aligned heads (U-ViT 72, CLIP/MMDiT 64) — U-ViT
+            # b64 forward 139.8 (fast-softmax XLA) -> 125.7 ms chained in a
+            # lax.scan (66.7% MFU), kernel 0.76 ms/site; ADM's d=192 32²
+            # sites 0.1 ms/call vs the fold path's transposes; (2) short
+            # lane-aligned rows (ADM 16²/8², d=256) where the per-head grid
+            # of the flash kernel is grid-overhead-bound (192 tiny programs)
+            # and one program per batch item amortizes the K/V DMA
             return _packed_with_xla_grad(q, k, v, None)
         sp, sp_kv = _pad_plan(q.shape, q.dtype, s_kv, supports)
         if sp is not None:

@@ -58,8 +58,12 @@ def conv3x3_nearest_up2(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.n
                 padding=((1 - a, a), (1 - bb, bb)),
                 dimension_numbers=dn,
                 preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
-            row.append(y)
+            )
+            # bias rides each phase conv's convert epilogue (it commutes with
+            # the interleave); adding it AFTER the interleave was a separate
+            # broadcast_add pass over the full-res tensor (~1.9 ms/fwd on
+            # ADM-128 b48 across the 4 decoder upsample sites)
+            row.append((y + b.astype(jnp.float32)).astype(x.dtype))
         phases.append(row)
     # interleave: out[:, 2i+a, 2j+bb] = phases[a][bb][:, i, j].
     # (An interior-pad+add interleave was A/B'd on chip and LOST — XLA does
@@ -67,8 +71,7 @@ def conv3x3_nearest_up2(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.n
     # kernel below writes the conv-native layout directly; its XLA fallback
     # is the stack+transpose, which costs one re-tiling copy.)
     del n, h, wd, k
-    out = interleave_phases_2x(phases[0][0], phases[0][1], phases[1][0], phases[1][1])
-    return out + b.astype(out.dtype)
+    return interleave_phases_2x(phases[0][0], phases[0][1], phases[1][0], phases[1][1])
 
 
 def upsample2_conv1x1(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

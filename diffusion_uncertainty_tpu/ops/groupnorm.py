@@ -154,12 +154,38 @@ def _pallas_gn(x, gamma, beta, scale_v, shift_v, num_groups, eps, apply_silu, ha
         and os.environ.get("DU_TPU_GN_HWNC", "1") != "0"
     )
     if hwnc_ok and os.environ.get("DU_TPU_GN_STATS_ONLY", "1") != "0":
-        # 1R stats kernel + consumer-fused normalize (see _stats_kernel)
-        xv = x.transpose(1, 2, 0, 3).reshape(h * w, b, c)
-        a_nc, b_nc = _gn_stats_hwnc(
-            xv, gamma.reshape(1, c), beta.reshape(1, c), scale_v, shift_v,
-            num_groups, eps, has_ss,
-        )
+        if os.environ.get("DU_TPU_GN_XLA_STATS", "1") != "0":
+            # DEFAULT: moments as plain XLA reductions over (H, W, gs).
+            # Unlike the Pallas stats custom call these CAN fuse into the
+            # producing conv's epilogue, and they impose no [HW,N,C]-view
+            # layout demand — ADM-128 b48 device forward measured 183.5
+            # (Pallas stats kernels + 19.3 ms of dual-layout bitcast_add
+            # fusions) -> 167.4 ms with this path. The older full-XLA GN
+            # loss (0.631 vs 0.847 imgs/s, r1) was the f32 NORMALIZE chain
+            # materializing twice-width copies, not the stats — stats-only
+            # XLA + the bf16 FMA epilogue below keeps the win from both
+            # worlds. DU_TPU_GN_XLA_STATS=0 restores the Pallas stats kernel
+            gs = c // num_groups
+            xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, gs)
+            s1 = jnp.mean(xf, axis=(1, 3))  # [B, G]
+            s2 = jnp.mean(xf * xf, axis=(1, 3))
+            inv_g = jax.lax.rsqrt(s2 - s1 * s1 + eps)  # [B, G]
+            gam = gamma.astype(jnp.float32).reshape(num_groups, gs)
+            a_ng = inv_g[:, :, None] * gam  # [B, G, gs]
+            b_ng = beta.astype(jnp.float32).reshape(num_groups, gs) - s1[:, :, None] * a_ng
+            a_nc = a_ng.reshape(b, c)
+            b_nc = b_ng.reshape(b, c)
+            if has_ss:
+                one_s = 1.0 + scale_v.astype(jnp.float32)
+                a_nc = a_nc * one_s
+                b_nc = b_nc * one_s + shift_v.astype(jnp.float32)
+        else:
+            # 1R stats kernel + consumer-fused normalize (see _stats_kernel)
+            xv = x.transpose(1, 2, 0, 3).reshape(h * w, b, c)
+            a_nc, b_nc = _gn_stats_hwnc(
+                xv, gamma.reshape(1, c), beta.reshape(1, c), scale_v, shift_v,
+                num_groups, eps, has_ss,
+            )
         # FMA in the input dtype: an f32 normalize chain makes XLA materialize
         # 2x-byte f32 intermediates in HBM (profiled +14 ms/fwd on ADM-128
         # b48); in-model activations are bf16 and one extra bf16 rounding of

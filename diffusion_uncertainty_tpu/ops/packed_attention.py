@@ -34,33 +34,56 @@ __all__ = ["packed_attention", "packed_supports"]
 
 _NEG_INF = -1e30
 # whole-row working set: K/V resident per batch item. [S, HD] bf16 x 3
-# double-buffered + f32 accumulator/logits must stay inside scoped VMEM.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# double-buffered + f32 logits/slices must stay inside scoped VMEM. 14MB
+# verified on chip at the worst accepted shape (ADM 32²: S=1024, H·D=768,
+# bq=64 -> est. 13.5MB compiled and ran); the estimate is conservative
+# because Mosaic elides re-fetches of the revisited whole-row K/V blocks.
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("DU_TPU_PACKED_VMEM", 14 * 1024 * 1024))
 
 
-def _vmem_bytes(s: int, s_kv: int, h: int, d: int) -> int:
+def _vmem_bytes(bq: int, s_kv: int, h: int, d: int) -> int:
     hd = h * d
     return (
-        2 * 2 * s * hd  # q + out blocks, double-buffered, bf16
+        2 * 2 * bq * hd  # q + out blocks, double-buffered, bf16
         + 2 * 2 * 2 * s_kv * hd  # k + v blocks, double-buffered
-        + 4 * s * s_kv  # f32 logits tile (one head at a time)
-        + 3 * 4 * s * d  # per-head slices + slack
+        + 4 * bq * s_kv  # f32 logits tile (one head at a time)
+        + 3 * 4 * bq * d  # per-head slices + slack
     )
+
+
+def _q_tile(s: int, s_kv: int, h: int, d: int) -> int | None:
+    """Largest whole-row-or-divisor q tile that fits the VMEM budget.
+
+    Whole-row (bq = s) needs no divisibility; smaller tiles must divide S
+    exactly in 8-row multiples (the grid tiles the q sequence)."""
+    if _vmem_bytes(s, s_kv, h, d) <= _VMEM_BUDGET:
+        return s
+    if s % 8 != 0:
+        return None
+    bq = s // 2
+    while bq >= 64:
+        if s % bq == 0 and bq % 8 == 0 and _vmem_bytes(bq, s_kv, h, d) <= _VMEM_BUDGET:
+            return bq
+        bq -= 8
+    return None
 
 
 def packed_supports(shape: tuple[int, ...], dtype, kv_seq: int | None = None) -> bool:
     """True when [B, S, H, D] self/cross attention fits this kernel: any S
-    (whole-row blocks are legal at the full array dim, so no 8-alignment or
-    padding is needed), d a multiple of 8 below a lane tile."""
+    when whole-row blocks fit VMEM (full-array-dim blocks are legal, so no
+    8-alignment or padding is needed), else 8-aligned S with a divisor q
+    tile; d any multiple of 8 (non-lane-aligned offsets are static slices)."""
     if len(shape) != 4:
         return False
     b, s, h, d = shape
     s_kv = kv_seq if kv_seq is not None else s
-    if d % 8 != 0 or d >= 128:
+    if d % 8 != 0 or d > 512:
         return False
     if dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    return _vmem_bytes(s, s_kv, h, d) <= _VMEM_BUDGET
+    return _q_tile(s, s_kv, h, d) is not None
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, h: int, d: int, scale: float, kv_len: int | None):
@@ -101,15 +124,16 @@ def _packed_attention(q, k, v, h: int, kv_len: int | None):
     s_kv = k.shape[1]
     d = hd // h
     scale = 1.0 / (d**0.5)
+    bq = _q_tile(s, s_kv, h, d)
     return pl.pallas_call(
         functools.partial(_kernel, h=h, d=d, scale=scale, kv_len=kv_len),
-        grid=(b,),
+        grid=(b, s // bq),
         in_specs=[
-            pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_kv, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_kv, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_kv, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_kv, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
         interpret=jax.devices()[0].platform != "tpu",
     )(q, k, v)

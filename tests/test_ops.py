@@ -475,3 +475,33 @@ def test_packed_attention_dispatch_and_gradient():
     g = jax.grad(lambda qq: jnp.sum(dot_product_attention(qq, q, q, use_pallas=True) ** 2))(q)
     gr = jax.grad(lambda qq: jnp.sum(_xla_attention(qq, q, q) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_avg_pool_2x2_pallas_matches_jnp():
+    """Layout-native pool kernel (interpret mode): exact vs the reshape
+    form, plus gradient and the fold-into-N vmap rule."""
+    from diffusion_uncertainty_tpu.ops.avgpool import avg_pool_2x2
+
+    x = jax.random.normal(jax.random.key(0), (8, 16, 16, 128), jnp.float32)
+    ref = np.asarray(avg_pool_2x2(x, use_pallas=False))
+    out = np.asarray(avg_pool_2x2(x, use_pallas=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    g1 = jax.grad(lambda a: jnp.sum(avg_pool_2x2(a, use_pallas=True) ** 2))(x)
+    g2 = jax.grad(lambda a: jnp.sum(avg_pool_2x2(a, use_pallas=False) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6, atol=1e-6)
+
+    xs = jax.random.normal(jax.random.key(1), (3, 8, 16, 16, 128))
+    o = np.asarray(jax.vmap(lambda a: avg_pool_2x2(a, use_pallas=True))(xs))
+    r = np.stack([np.asarray(avg_pool_2x2(xs[i], use_pallas=False)) for i in range(3)])
+    np.testing.assert_allclose(o, r, rtol=1e-6, atol=1e-6)
+
+
+def test_avg_pool_2x2_unsupported_shape_falls_back():
+    from diffusion_uncertainty_tpu.ops.avgpool import avg_pool_2x2
+
+    # C % 128 != 0 and B % 8 != 0: must take the jnp path and stay exact
+    x = jax.random.normal(jax.random.key(2), (3, 4, 4, 96))
+    out = np.asarray(avg_pool_2x2(x, use_pallas=True))
+    ref = np.asarray(avg_pool_2x2(x, use_pallas=False))
+    np.testing.assert_allclose(out, ref)
