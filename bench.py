@@ -389,8 +389,9 @@ _CONFIGS = {
     # limit at 128^2 x 421M); 48 is the next MXU-friendly point above 32
     # batch 64 faulted the device through round 3; round 4's working-set
     # shrink (no f32 activation copies, no materialized upsampled tensors)
-    # made it RUN — but measured 1.2585 imgs/sec vs b48's 1.2774, so b48
-    # stays the headline config (run `--single b64` to reproduce)
+    # made it RUN — but measured 1.2585 imgs/sec vs b48's 1.2774 (r4) and
+    # 1.3887 vs 1.4397 (r5, after the XLA-stats GN shrink), so b48 stays
+    # the headline config (run `--single b64` to reproduce)
     "b64": (None, 64, 1),
     "b48": (None, 48, 1),
     "b32": (None, 32, 1),
