@@ -77,6 +77,32 @@ def test_threshold_guidance_per_step_maps(sched):
     assert bool(jnp.all(jnp.isfinite(res.sample)))
 
 
+def test_threshold_guidance_short_table_raises(sched):
+    """ADVICE r4 regression: a per-step table too short for the guidance
+    window must raise at build time — JAX's clamp-indexing gather would
+    otherwise silently reuse the last row (the reference asserts
+    ``threshold.shape[0] == timesteps.shape[0]``,
+    ``...posterior_distribution.py:121-122``)."""
+    thr_short = jnp.full((3, 8, 8, 3), 1e-6)
+    with pytest.raises(ValueError, match="threshold table"):
+        make_threshold_guidance(
+            M=3, threshold=thr_short, step_index_offset=2, num_window_steps=3
+        )
+    with pytest.raises(ValueError, match="threshold table"):
+        make_second_order_guidance(
+            M=3, threshold=thr_short, step_index_offset=2, num_window_steps=3
+        )
+    # a global-step-length table with the same window builds and runs
+    thr_full = jnp.full((10, 8, 8, 3), 1e-6)
+    res = run(
+        make_threshold_guidance(
+            M=3, threshold=thr_full, step_index_offset=2, num_window_steps=3
+        ),
+        sched,
+    )
+    assert bool(jnp.all(jnp.isfinite(res.sample)))
+
+
 def test_mask_guidance_binary_and_multiscale(sched):
     est = EstimatorConfig(name="infer_noise", M=3)
     for mode in ("binary", "multiscale"):
