@@ -106,7 +106,15 @@ def run_config(
     cost = fwd.lower(params, x).cost_analysis() or {}
     flops_per_image_fwd = float(cost.get("flops", 0.0)) / BATCH
     if not flops_per_image_fwd:
-        flops_per_image_fwd = ADM128_FWD_GFLOPS * 1e9
+        # the axon backend's cost_analysis returns no flops; ADM-128 was
+        # measured once via compiled cost_analysis on this chip (587.9),
+        # every other config gets a CPU-platform lowering in a subprocess
+        # (using the 128 constant for ADM-64 would overstate its
+        # vs_baseline ~2.9x: ADM-64 is 200.6 GFLOP/image)
+        if tag.startswith("imagenet128"):
+            flops_per_image_fwd = ADM128_FWD_GFLOPS * 1e9
+        else:
+            flops_per_image_fwd = _flops_child(tag) or ADM128_FWD_GFLOPS * 1e9
     log(f"[{tag}] forward: {flops_per_image_fwd/1e9:.1f} GFLOP/image")
 
     schedule = make_schedule("linear", 1000)
@@ -381,6 +389,53 @@ def run_sd3(batch: int = 4, steps: int = 16) -> dict:
     return {"sd3_medium_guided_imgs_per_sec_chip": round(imgs_per_sec, 3)}
 
 
+def _adm_cfg_for_tag(tag: str) -> ADMUNetConfig:
+    if tag == "imagenet64":
+        cfg = ADMUNetConfig.imagenet64(dropout=0.0)
+    else:
+        cfg = ADMUNetConfig.imagenet128()
+        if "halfwidth" in tag:
+            cfg = dataclasses.replace(cfg, model_channels=128)
+    return dataclasses.replace(cfg, dtype=jnp.bfloat16)
+
+
+def _flops_child(tag: str) -> float | None:
+    """Per-image forward FLOPs via a CPU-platform lowering in a subprocess.
+
+    A CPU lowering's cost_analysis reports flops where the axon one does
+    not (ADM-64 measured 200.6 GFLOP/image lowered vs 203.1 compiled — the
+    ~1% gap makes the A100 estimate conservative). Subprocess because the
+    parent's jax backend is already initialized on the TPU platform."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--flops", tag],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.strip().startswith("{"):
+                return float(json.loads(line).get("flops") or 0.0) or None
+    except Exception:
+        pass
+    return None
+
+
+def _run_flops_probe(tag: str) -> None:
+    """--flops child entry: lower the tag's forward on CPU, print flops."""
+    jax.config.update("jax_platforms", "cpu")
+    cfg = _adm_cfg_for_tag(tag)
+    model = ADMUNet(cfg)
+    size = cfg.image_size
+    x = jnp.zeros((1, size, size, 3), jnp.bfloat16)
+    t = jnp.asarray(500, jnp.int32)
+    y = jnp.zeros((1,), jnp.int32)
+    shapes = jax.eval_shape(lambda k: model.init(k, x, t, y), jax.random.key(0))
+    fwd = jax.jit(lambda p, xx: model.apply(p, xx, t, y)[..., :3])
+    low = fwd.lower(shapes, jax.ShapeDtypeStruct(x.shape, x.dtype))
+    print(json.dumps({"flops": (low.cost_analysis() or {}).get("flops", 0.0)}))
+
+
 _CONFIGS = {
     # tag -> (model_channels_override, batch, ensemble_chunk)
     # sequential zigzag members (ensemble_chunk=1) cap the live batch at the
@@ -433,10 +488,7 @@ def run_single(name: str) -> None:
         }))
         return
     if name == "adm64":
-        cfg = dataclasses.replace(
-            ADMUNetConfig.imagenet64(dropout=0.0), dtype=jnp.bfloat16
-        )
-        out = run_config(cfg, "imagenet64", batch=64, ensemble_chunk=1)
+        out = run_config(_adm_cfg_for_tag("imagenet64"), "imagenet64", batch=64, ensemble_chunk=1)
         # secondary line: fold into the combined JSON under prefixed keys
         print(json.dumps({
             "adm64_zigzag_imgs_per_sec_chip": out["value"],
@@ -489,6 +541,9 @@ def _device_available(timeout: float = 180.0) -> bool:
 
 
 def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--flops":
+        _run_flops_probe(sys.argv[2])
+        return
     if len(sys.argv) > 2 and sys.argv[1] == "--single":
         run_single(sys.argv[2])
         return

@@ -118,19 +118,23 @@ def _ilv_kernel(y00, y01, y10, y11, o):
 def _ilv_plan(h, wd, n, c, itemsize):
     """Pick (th, tw, kc) so one input phase block fits the budget.
 
-    _ILV_BLOCK is the soft target steering kc/th. The HARD cap is 3.5× that
-    (1.75MB at the default): 4 in-blocks + the 4× out-block then total
-    ≤ 14MB, under the 16MB scoped VMEM. The benchmarked ADM-128 b48 site
-    (whole-row blocks of ~1.57MB) stays below the hard cap, so its tiling —
-    and the measured 1.277 imgs/sec — is unchanged; only genuinely oversized
-    W*N sites get W-tiled (or, if even tw=1 busts the cap, return None and
-    let the caller fall back to the XLA stack+reshape instead of OOMing)."""
+    _ILV_BLOCK is the soft target steering kc/th. The HARD cap is 1.75× that
+    (896KB at the default): 4 in-blocks + the 4× out-block, ALL
+    double-buffered by the Mosaic pipeline, total 16 block-equivalents
+    ≤ 14MB under the 16MB scoped VMEM. (The first cut capped at 1.75MB
+    assuming single-buffered blocks; the vmapped CIFAR-10 ensemble site
+    [4,4,2560,256] then compiled to 20.00M of scoped stack and was
+    rejected by the relay.) Every benchmarked ADM-128 b48 site plans
+    whole-row blocks of ≤786KB, below this cap, so its tiling — and the
+    measured headline — is unchanged; only genuinely oversized W*N sites
+    get W-tiled (or, if even tw=1 busts the cap, return None and let the
+    caller fall back to the XLA stack+reshape instead of OOMing)."""
     kc = 128
     for d in range(c, 127, -128):
         if c % d == 0 and wd * n * d * itemsize <= _ILV_BLOCK:
             kc = d
             break
-    hard = int(3.5 * _ILV_BLOCK)
+    hard = int(1.75 * _ILV_BLOCK)
     tw = wd  # W-dim tile: whole rows when under the hard cap, halved otherwise
     while tw * n * kc * itemsize > hard and tw % 2 == 0:
         tw //= 2

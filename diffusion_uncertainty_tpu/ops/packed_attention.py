@@ -48,7 +48,13 @@ def _vmem_bytes(bq: int, s_kv: int, h: int, d: int) -> int:
     return (
         2 * 2 * bq * hd  # q + out blocks, double-buffered, bf16
         + 2 * 2 * 2 * s_kv * hd  # k + v blocks, double-buffered
-        + 4 * bq * s_kv  # f32 logits tile (one head at a time)
+        # f32 logits + exp + row-sum temps + bf16 probs, with ~2 unrolled
+        # heads' temps live at once: a 4-byte/element charge predicted 9.7MB
+        # where Mosaic actually allocated 27.03MB of stack at
+        # [S=1024, H·D=384, h=6] (ADM-64 32² site) — 24 B/element matches
+        # that measurement with margin and leaves every benchmarked
+        # whole-row site (U-ViT S=258, ADM-128 d=192/d=256) unchanged
+        + 24 * bq * s_kv
         + 3 * 4 * bq * d  # per-head slices + slack
     )
 
